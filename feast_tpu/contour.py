@@ -1,0 +1,256 @@
+"""Contour quadrature: nodes/weights on circles and rectangles.
+
+Re-implements the semantics of the reference's `src/contour.jl` (FEASTSolver.jl)
+as pure host-side data generation: the weights absorb the dz/(2*pi*i) factor so
+every solver just evaluates  sum_i  w_i * f(z_i)  with f the resolvent.
+
+Layout differences from the reference (all deliberate, TPU-first):
+  * nodes/weights are plain numpy complex128 computed once on the host
+    (static data per jit trace), shipped to device as CX pairs;
+  * the rectangular constructors accept real corners (fixes the reference's
+    acknowledged bug at contour.jl:50,70 "This is a bug if given real
+    coordinates!");
+  * `CustomContour` gets a working `in_contour` via the rational-filter
+    winding test (reference TODO at contour.jl:18).
+
+Reference parity map:
+  circular_contour_trapezoidal  <- contour.jl:26-31
+  circular_contour_gauss        <- contour.jl:33-44
+  rectangular_contour_gauss     <- contour.jl:47-63
+  rectangular_contour_trapezoidal <- contour.jl:66-86
+  in_contour                    <- contour.jl:88-100
+  rational_func                 <- contour.jl:102-108
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import cx
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class Contour:
+    """Quadrature rule on a closed contour in the complex plane.
+
+    nodes, weights: numpy complex128 (static host data, hashable as aux when
+    the contour is closed over by a jit trace) or jax CX once on device.
+    kind/params are static python metadata used by `in_contour`.
+    """
+
+    nodes: np.ndarray
+    weights: np.ndarray
+    kind: str = "custom"  # "circle" | "rect" | "custom"
+    params: Tuple[float, ...] = ()  # circle: (c_re, c_im, r); rect: (bl_re, bl_im, tr_re, tr_im)
+
+    def __len__(self):
+        return len(self.nodes)
+
+    @property
+    def size(self):
+        return len(self.nodes)
+
+    @property
+    def center(self) -> complex:
+        if self.kind == "circle":
+            return complex(self.params[0], self.params[1])
+        if self.kind == "rect":
+            bl = complex(self.params[0], self.params[1])
+            tr = complex(self.params[2], self.params[3])
+            return (bl + tr) / 2
+        return complex(np.mean(self.nodes))
+
+    @property
+    def radius(self) -> float:
+        if self.kind == "circle":
+            return float(self.params[2])
+        return float(np.max(np.abs(np.asarray(self.nodes) - self.center)))
+
+    def device_nodes(self, dtype=jnp.float64) -> cx.CX:
+        return cx.from_numpy(np.asarray(self.nodes), dtype)
+
+    def device_weights(self, dtype=jnp.float64) -> cx.CX:
+        return cx.from_numpy(np.asarray(self.weights), dtype)
+
+    # pytree protocol: nodes/weights ride as leaves, metadata static
+    def tree_flatten(self):
+        return (self.nodes, self.weights), (self.kind, self.params)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        kind, params = aux
+        return cls(leaves[0], leaves[1], kind, params)
+
+
+# ---------------------------------------------------------------------------
+# constructors
+# ---------------------------------------------------------------------------
+
+def circular_contour_trapezoidal(c: complex, r: float, n: int = 16) -> Contour:
+    """N-point trapezoid rule on the circle |z - c| = r.
+
+    theta_i = pi/N + 2*pi*(i-1)/N;  w_i = r e^{i theta_i} / N
+    (reference contour.jl:26-31; weights absorb dz/(2 pi i)).
+    """
+    c = complex(c)
+    theta = np.pi / n + 2 * np.pi * np.arange(n) / n
+    e = np.exp(1j * theta)
+    nodes = r * e + c
+    weights = r * e / n
+    return Contour(nodes, weights, "circle", (c.real, c.imag, float(r)))
+
+
+def circular_contour_gauss(c: complex, r: float, n: int = 16) -> Contour:
+    """Gauss–Legendre rule on two half-circles (reference contour.jl:33-44)."""
+    if n % 2 != 0:
+        raise ValueError("Number of nodes must be a multiple of 2")
+    c = complex(c)
+    half = n // 2
+    gq_nodes, gq_w = np.polynomial.legendre.leggauss(half)
+    theta = (np.pi / 2.0) * (gq_nodes + 1.0)  # [0, pi]
+    nodes = np.concatenate([r * np.exp(1j * theta) + c,
+                            r * np.exp(1j * (theta + np.pi)) + c])
+    weights = np.concatenate([r * np.exp(1j * theta) * gq_w / 4.0,
+                              r * np.exp(1j * (theta + np.pi)) * gq_w / 4.0])
+    return Contour(nodes, weights, "circle", (c.real, c.imag, float(r)))
+
+
+def rectangular_contour_gauss(bottom_left: complex, top_right: complex,
+                              n: int = 16) -> Contour:
+    """Gauss–Legendre rule on a rectangle, edges clockwise top/right/bottom/left
+    (reference contour.jl:47-63; the real-corner dtype bug is fixed here)."""
+    bl, tr = complex(bottom_left), complex(top_right)
+    if not (bl.real < tr.real and bl.imag < tr.imag):
+        raise ValueError("Invalid corners")
+    if n % 4 != 0:
+        raise ValueError("Number of nodes must be a multiple of 4")
+    q = n // 4
+    gq, gw = np.polynomial.legendre.leggauss(q)
+    top_len = tr.real - bl.real
+    side_len = tr.imag - bl.imag
+    nodes = np.empty(n, dtype=np.complex128)
+    weights = np.empty(n, dtype=np.complex128)
+    # top edge: left -> right at y = tr.imag
+    nodes[0:q] = (gq + 1) * (top_len / 2) + (tr.imag * 1j + bl.real)
+    # right edge: bottom -> top at x = tr.real  (reference ordering)
+    nodes[q:2 * q] = (gq + 1) * (1j * side_len / 2) + (bl.imag * 1j + tr.real)
+    # bottom edge: right -> left at y = bl.imag
+    nodes[2 * q:3 * q] = (gq[::-1] + 1) * (top_len / 2) + (bl.imag * 1j + bl.real)
+    # left edge: top -> bottom at x = bl.real
+    nodes[3 * q:4 * q] = (gq[::-1] + 1) * (1j * side_len / 2) + (bl.imag * 1j + bl.real)
+    weights[0:q] = gw * top_len
+    weights[q:2 * q] = -1j * gw * side_len
+    weights[2 * q:3 * q] = -gw * top_len
+    weights[3 * q:4 * q] = 1j * gw * side_len
+    weights /= (-4.0 * np.pi * 1j)
+    return Contour(nodes, weights, "rect", (bl.real, bl.imag, tr.real, tr.imag))
+
+
+def rectangular_contour_trapezoidal(bottom_left: complex, top_right: complex,
+                                    n: int = 16) -> Contour:
+    """Composite trapezoid on a rectangle with corner weights halved
+    (reference contour.jl:66-86)."""
+    bl, tr = complex(bottom_left), complex(top_right)
+    if not (bl.real < tr.real and bl.imag < tr.imag):
+        raise ValueError("Invalid corners")
+    if n % 4 != 0:
+        raise ValueError("Number of nodes must be a multiple of 4")
+    q = n // 4
+    nodes = np.empty(n, dtype=np.complex128)
+    weights = np.empty(n, dtype=np.complex128)
+    nodes[0:q] = np.linspace(bl.real, tr.real, q + 1)[:q] + tr.imag * 1j
+    nodes[q:2 * q] = np.linspace(tr.imag, bl.imag, q + 1)[:q] * 1j + tr.real
+    nodes[2 * q:3 * q] = np.linspace(tr.real, bl.real, q + 1)[:q] + bl.imag * 1j
+    nodes[3 * q:4 * q] = np.linspace(bl.imag, tr.imag, q + 1)[:q] * 1j + bl.real
+    top_len = tr.real - bl.real
+    side_len = tr.imag - bl.imag
+    weights[0] = 1j * side_len / (2 * q) + top_len / (2 * q)
+    weights[1:q] = top_len / q
+    weights[q] = top_len / (2 * q) - 1j * side_len / (2 * q)
+    weights[q + 1:2 * q] = -1j * side_len / q
+    weights[2 * q] = -1j * side_len / (2 * q) - top_len / (2 * q)
+    weights[2 * q + 1:3 * q] = -top_len / q
+    weights[3 * q] = -top_len / (2 * q) + 1j * side_len / (2 * q)
+    weights[3 * q + 1:4 * q] = 1j * side_len / q
+    weights /= (-2.0 * np.pi * 1j)
+    return Contour(nodes, weights, "rect", (bl.real, bl.imag, tr.real, tr.imag))
+
+
+def custom_contour(nodes, weights) -> Contour:
+    """User-supplied quadrature (reference CustomContour, contour.jl:19-22)."""
+    return Contour(np.asarray(nodes, dtype=np.complex128),
+                   np.asarray(weights, dtype=np.complex128), "custom", ())
+
+
+# ---------------------------------------------------------------------------
+# membership / filter diagnostics
+# ---------------------------------------------------------------------------
+
+def in_contour(lam, contour: Contour):
+    """Boolean mask: which eigenvalues lie inside the contour.
+
+    Circle: |lam - c| <= r (reference contour.jl:93-95).
+    Rect: strict box test (reference contour.jl:98-100).
+    Custom: winding test via the rational filter, |rho(lam)| > 1/2 —
+    this fills in the reference's TODO (contour.jl:18).
+
+    Works on numpy/jax complex arrays and on CX pairs.
+    """
+    if isinstance(lam, cx.CX):
+        lr, li = lam.re, lam.im
+    else:
+        lam = jnp.asarray(lam) if not isinstance(lam, np.ndarray) else lam
+        lr, li = lam.real, lam.imag
+    if contour.kind == "circle":
+        c_re, c_im, r = contour.params
+        return (lr - c_re) ** 2 + (li - c_im) ** 2 <= r * r
+    if contour.kind == "rect":
+        bl_re, bl_im, tr_re, tr_im = contour.params
+        return (bl_re < lr) & (lr < tr_re) & (bl_im < li) & (li < tr_im)
+    # custom: rational filter magnitude test
+    rho = rational_func_pairs(lr, li, contour)
+    return cx.abs2(rho) > 0.25
+
+
+def in_contour_circle(lam, c: complex, r: float):
+    """Direct circle membership like the reference's in_contour(lam, c, r)."""
+    if isinstance(lam, cx.CX):
+        lr, li = lam.re, lam.im
+    else:
+        lam = jnp.asarray(lam) if not isinstance(lam, np.ndarray) else lam
+        lr, li = lam.real, lam.imag
+    c = complex(c)
+    return (lr - c.real) ** 2 + (li - c.imag) ** 2 <= r * r
+
+
+def rational_func(z, contour: Contour):
+    """Value of the rational filter rho(z) = sum_i w_i / (x_i - z)
+    (reference contour.jl:102-108).  Host/numpy convenience form."""
+    z = np.asarray(z)
+    nodes = np.asarray(contour.nodes)
+    weights = np.asarray(contour.weights)
+    return np.sum(weights[:, None] / (nodes[:, None] - z.ravel()[None, :]),
+                  axis=0).reshape(z.shape)
+
+
+def rational_func_pairs(zr, zi, contour: Contour) -> cx.CX:
+    """rho(z) evaluated with pair arithmetic (jit-safe, for custom in_contour)."""
+    nr = jnp.asarray(np.asarray(contour.nodes).real, dtype=jnp.result_type(zr))
+    ni = jnp.asarray(np.asarray(contour.nodes).imag, dtype=jnp.result_type(zr))
+    wr = jnp.asarray(np.asarray(contour.weights).real, dtype=jnp.result_type(zr))
+    wi = jnp.asarray(np.asarray(contour.weights).imag, dtype=jnp.result_type(zr))
+    zr = jnp.asarray(zr)
+    shape = zr.shape
+    dr = nr[:, None] - zr.ravel()[None, :]
+    di = ni[:, None] - jnp.asarray(zi).ravel()[None, :]
+    quot = cx.cdiv(cx.CX(jnp.broadcast_to(wr[:, None], dr.shape),
+                         jnp.broadcast_to(wi[:, None], dr.shape)),
+                   cx.CX(dr, di))
+    return cx.CX(jnp.sum(quot.re, axis=0).reshape(shape),
+                 jnp.sum(quot.im, axis=0).reshape(shape))

@@ -1,0 +1,281 @@
+"""On-device complex nonsymmetric eigensolver (Schur / QR iteration).
+
+XLA:TPU has no nonsymmetric eigendecomposition (jnp.linalg.eig is CPU-only),
+yet every FEAST Rayleigh-Ritz step needs eig of a small dense complex matrix
+(reference: LAPACK zgeev via `eigen!` at feast.jl:45, utils.jl:74).  This
+module implements it from scratch on CX real-pair arithmetic so it compiles
+for TPU:
+
+  1. Householder reduction to upper-Hessenberg form,
+  2. explicit single-shift (Wilkinson) QR iteration with deflation,
+     formulated as two `lax.scan`s per sweep (row-rotations forward, column
+     rotations backward) so each sweep is O(n) fused vector steps instead of
+     O(n^2) scalar updates,
+  3. eigenvectors of the triangular Schur factor by masked back-substitution.
+
+Everything is static-shape and jit/vmap-safe; deflation is tracked by an
+active-window bottom index `k` carried through a while_loop.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .. import cx
+from ..cx import CX
+
+
+def _outer(v: CX, w: CX) -> CX:
+    """Complex outer product v w (no conjugation): (n,1)*(1,m)."""
+    vr, vi = v.re[:, None], v.im[:, None]
+    wr, wi = w.re[None, :], w.im[None, :]
+    return CX(vr * wr - vi * wi, vr * wi + vi * wr)
+
+
+def _getitem_scalar(a: CX, i) -> CX:
+    return CX(a.re[i], a.im[i])
+
+
+def hessenberg(A: CX):
+    """Reduce A to upper Hessenberg H = Q^H A Q, returning (H, Q)."""
+    n = A.shape[0]
+    idx = jnp.arange(n)
+    Q = cx.eye(n, A.dtype)
+
+    def body(k, AQ):
+        A, Q = AQ
+        x = A[:, k]
+        m = idx >= k + 1
+        xm = cx.where(m, x, cx.zeros((n,), A.dtype))
+        normx = jnp.sqrt(jnp.sum(cx.abs2(xm)))
+        alpha = _getitem_scalar(xm, k + 1)
+        ph = cx.phase(alpha)
+        # v = xm + ph*normx * e_{k+1}
+        add = ph * normx
+        sel = (idx == k + 1)
+        v = CX(xm.re + jnp.where(sel, add.re, 0.0),
+               xm.im + jnp.where(sel, add.im, 0.0))
+        vnorm2 = jnp.sum(cx.abs2(v))
+        beta = jnp.where(vnorm2 > 0, 2.0 / jnp.where(vnorm2 > 0, vnorm2, 1.0), 0.0)
+        # A <- (I - beta v v^H) A : w = v^H A
+        w = CX(
+            v.re @ A.re + v.im @ A.im,
+            v.re @ A.im - v.im @ A.re,
+        )
+        A = A - _outer(v, w) * beta
+        # A <- A (I - beta v v^H) : u = A v
+        u = CX(
+            A.re @ v.re - A.im @ v.im,
+            A.re @ v.im + A.im @ v.re,
+        )
+        A = A - _outer(u, v.conj()) * beta
+        # Q <- Q (I - beta v v^H)
+        qv = CX(
+            Q.re @ v.re - Q.im @ v.im,
+            Q.re @ v.im + Q.im @ v.re,
+        )
+        Q = Q - _outer(qv, v.conj()) * beta
+        return A, Q
+
+    if n > 2:
+        A, Q = lax.fori_loop(0, n - 2, body, (A, Q))
+    return A, Q
+
+
+def _givens(a: CX, b: CX):
+    """Rotation G=[[c, s],[-conj(s), c]], c real, with G @ [a; b] = [r; 0]."""
+    na2 = cx.abs2(a)
+    nb2 = cx.abs2(b)
+    r2 = na2 + nb2
+    b_zero = nb2 == 0
+    r = jnp.sqrt(jnp.where(r2 > 0, r2, 1.0))
+    absa = jnp.sqrt(na2)
+    a_zero = na2 == 0
+    pha = cx.phase(a)  # 1 when a == 0
+    c = jnp.where(b_zero, 1.0, absa / r)
+    s = pha * b.conj()
+    s = CX(jnp.where(b_zero, 0.0, s.re / r), jnp.where(b_zero, 0.0, s.im / r))
+    del a_zero
+    return c, s
+
+
+def _qr_sweep(H: CX, Z: CX, k, sigma: CX):
+    """One explicit-shift QR sweep on the leading (k+1) block of Hessenberg H.
+
+    H' = R Q + sigma I  where  H - sigma I = Q R.  Rotations with index >= k
+    are forced to identity, so deflated trailing rows/cols are untouched.
+    Z accumulates the unitary similarity (Schur vectors).
+    """
+    n = H.shape[0]
+    idx = jnp.arange(n)
+    # subtract the shift on the active diagonal only
+    dr = jnp.where(idx <= k, sigma.re, 0.0)
+    di = jnp.where(idx <= k, sigma.im, 0.0)
+    Hs = CX(H.re - jnp.diag(dr), H.im - jnp.diag(di))
+
+    # ---- forward scan: eliminate subdiagonal with Givens row rotations ----
+    def fwd(carry_row, inp):
+        i, next_row = inp
+        a = _getitem_scalar(carry_row, i)
+        b = _getitem_scalar(next_row, i)
+        c, s = _givens(a, b)
+        active = i < k
+        c = jnp.where(active, c, 1.0)
+        s = CX(jnp.where(active, s.re, 0.0), jnp.where(active, s.im, 0.0))
+        top = carry_row * c + s * next_row
+        bot = next_row * c - s.conj() * carry_row
+        return bot, (top, c, s)
+
+    rows_in = (jnp.arange(n - 1), CX(Hs.re[1:], Hs.im[1:]))
+    first_row = CX(Hs.re[0], Hs.im[0])
+    last_row, (r_rows, cs_c, cs_s) = lax.scan(fwd, first_row, rows_in)
+    R = CX(jnp.concatenate([r_rows.re, last_row.re[None, :]], axis=0),
+           jnp.concatenate([r_rows.im, last_row.im[None, :]], axis=0))
+
+    # ---- backward scan: right-multiply R (and Z) by G_0^H ... G_{n-2}^H ----
+    # stack R and Z vertically: columns of both transform identically
+    M = CX(jnp.concatenate([R.re, Z.re], axis=0),
+           jnp.concatenate([R.im, Z.im], axis=0))
+
+    def bwd(carry_col, inp):
+        next_col, c, s = inp
+        newcol = carry_col * c + s.conj() * next_col
+        carry = next_col * c - s * carry_col
+        return carry, newcol
+
+    cols_in = (CX(M.re[:, 1:].T, M.im[:, 1:].T), cs_c, cs_s)
+    first_col = CX(M.re[:, 0], M.im[:, 0])
+    last_col, out_cols = lax.scan(bwd, first_col, cols_in)
+    Mout = CX(
+        jnp.concatenate([out_cols.re.T, last_col.re[:, None]], axis=1),
+        jnp.concatenate([out_cols.im.T, last_col.im[:, None]], axis=1),
+    )
+    Hn = CX(Mout.re[:n] + jnp.diag(dr), Mout.im[:n] + jnp.diag(di))
+    Zn = CX(Mout.re[n:], Mout.im[n:])
+    return Hn, Zn
+
+
+def _wilkinson_shift(H: CX, k, stagnation):
+    """Eigenvalue of the trailing active 2x2 closest to H[k,k]; exceptional
+    shift when the iteration stagnates (LAPACK-style)."""
+    a = _getitem_scalar(H, (k - 1, k - 1))
+    b = _getitem_scalar(H, (k - 1, k))
+    g = _getitem_scalar(H, (k, k - 1))
+    d = _getitem_scalar(H, (k, k))
+    delta = (a - d) * 0.5
+    bg = b * g
+    t = cx.csqrt(delta * delta + bg)
+    den1 = delta + t
+    den2 = delta - t
+    pick1 = cx.abs2(den1) >= cx.abs2(den2)
+    den = cx.where(pick1, den1, den2)
+    small = cx.abs2(den) <= 0.0
+    quot = cx.cdiv(bg, cx.where(small, cx.as_cx(1.0, H.dtype), den))
+    mu = d - cx.where(small, cx.zeros((), H.dtype), quot)
+    # exceptional shift every 10 stagnating iterations
+    exc = CX(d.re + 0.75 * cx.cabs(g), d.im)
+    use_exc = (stagnation > 0) & (stagnation % 10 == 0)
+    return cx.where(use_exc, exc, mu)
+
+
+def schur(A: CX, max_sweeps_per_eig: int = 30):
+    """Complex Schur decomposition A = Z T Z^H via Hessenberg + shifted QR.
+
+    Returns (T upper triangular CX, Z unitary CX).
+    """
+    n = A.shape[0]
+    if n == 1:
+        return A, cx.eye(1, A.dtype)
+    H, Z = hessenberg(A)
+    eps = jnp.finfo(H.dtype).eps
+    fnorm = cx.fro_norm(H)
+    idx = jnp.arange(n - 1)
+    maxit = max_sweeps_per_eig * n
+
+    def deflate(H):
+        sub = CX(jnp.diagonal(H.re, -1), jnp.diagonal(H.im, -1))
+        diag_abs = cx.cabs(CX(jnp.diagonal(H.re), jnp.diagonal(H.im)))
+        tol = eps * (diag_abs[:-1] + diag_abs[1:])
+        tol = jnp.where(tol > 0, tol, eps * jnp.where(fnorm > 0, fnorm, 1.0))
+        conv = cx.cabs(sub) <= tol
+        # zero converged subdiagonal entries
+        sub_sel = jnp.eye(n, n, -1, dtype=bool)
+        conv_full = jnp.zeros((n, n), dtype=bool).at[jnp.arange(1, n), jnp.arange(n - 1)].set(conv)
+        Hre = jnp.where(conv_full, 0.0, H.re)
+        Him = jnp.where(conv_full, 0.0, H.im)
+        H = CX(Hre, Him)
+        nz = ~conv
+        k = jnp.max(jnp.where(nz, idx + 1, 0))
+        return H, k
+
+    H, k0 = deflate(H)
+
+    def cond(state):
+        H, Z, k, it, stag = state
+        return (k > 0) & (it < maxit)
+
+    def body(state):
+        H, Z, k, it, stag = state
+        sigma = _wilkinson_shift(H, k, stag)
+        H, Z = _qr_sweep(H, Z, k, sigma)
+        H, k_new = deflate(H)
+        stag = jnp.where(k_new < k, 0, stag + 1)
+        return H, Z, k_new, it + 1, stag
+
+    H, Z, k, it, _ = lax.while_loop(
+        cond, body, (H, Z, k0, jnp.array(0, jnp.int32), jnp.array(0, jnp.int32)))
+    # force exact triangularity for downstream back-substitution
+    tri = jnp.triu(jnp.ones((n, n), dtype=bool))
+    H = CX(jnp.where(tri, H.re, 0.0), jnp.where(tri, H.im, 0.0))
+    return H, Z
+
+
+def tri_eigvecs(T: CX) -> CX:
+    """Eigenvectors of an upper-triangular T by back-substitution (ZTREVC-style).
+
+    Column i solves (T - lam_i I) y = 0 with y_i = 1, entries below i zero.
+    """
+    n = T.shape[0]
+    lam = CX(jnp.diagonal(T.re), jnp.diagonal(T.im))
+    eps = jnp.finfo(T.dtype).eps
+    smln = eps * jnp.maximum(cx.fro_norm(T), 1.0)
+    Y = cx.eye(n, T.dtype)
+    col_idx = jnp.arange(n)
+
+    def body(t, Y):
+        j = n - 2 - t
+        rowmask = (col_idx > j).astype(T.dtype)
+        rowT = CX(T.re[j] * rowmask, T.im[j] * rowmask)
+        # num_i = sum_l T[j,l] Y[l,i] for l > j
+        num = CX(rowT.re @ Y.re - rowT.im @ Y.im,
+                 rowT.re @ Y.im + rowT.im @ Y.re)
+        tjj = CX(T.re[j, j], T.im[j, j])
+        den = CX(tjj.re - lam.re, tjj.im - lam.im)
+        dmag = cx.cabs(den)
+        den = cx.where(dmag < smln,
+                       CX(jnp.full((n,), smln, T.dtype), jnp.zeros((n,), T.dtype)),
+                       den)
+        val = cx.cdiv(CX(-num.re, -num.im), den)
+        upd = col_idx > j
+        newrow = cx.where(upd, val, CX(Y.re[j], Y.im[j]))
+        return CX(Y.re.at[j].set(newrow.re), Y.im.at[j].set(newrow.im))
+
+    if n > 1:
+        Y = lax.fori_loop(0, n - 1, body, Y)
+    return Y
+
+
+def eig(A: CX):
+    """Eigenvalues and right eigenvectors of a dense complex matrix.
+
+    Returns (w: CX (n,), V: CX (n,n)) with unit-norm columns.
+    TPU-native replacement for LAPACK zgeev (`eigen!`, feast.jl:45).
+    """
+    T, Z = schur(A)
+    w = CX(jnp.diagonal(T.re), jnp.diagonal(T.im))
+    Y = tri_eigvecs(T)
+    V = Z @ Y
+    V = cx.normalize_cols(V)
+    return w, V

@@ -1,0 +1,81 @@
+"""On-device complex Schur/eig vs numpy (LAPACK) ground truth."""
+
+import jax
+import numpy as np
+import pytest
+
+from feast_tpu import cx
+from feast_tpu.ops import eig as feig
+
+
+def _rand_c(n, m=None, seed=0, scale=1.0):
+    rng = np.random.default_rng(seed)
+    m = m or n
+    return scale * (rng.standard_normal((n, m)) + 1j * rng.standard_normal((n, m)))
+
+
+@pytest.mark.parametrize("n,seed", [(4, 0), (8, 1), (16, 2), (32, 3)])
+def test_schur_reconstructs(n, seed):
+    a = _rand_c(n, seed=seed)
+    A = cx.from_numpy(a)
+    T, Z = jax.jit(feig.schur)(A)
+    Tn, Zn = cx.to_numpy(T), cx.to_numpy(Z)
+    # unitary
+    np.testing.assert_allclose(Zn.conj().T @ Zn, np.eye(n), atol=1e-12)
+    # triangular
+    assert np.max(np.abs(np.tril(Tn, -1))) < 1e-11 * np.linalg.norm(a)
+    # similarity
+    np.testing.assert_allclose(Zn @ Tn @ Zn.conj().T, a, atol=1e-11)
+
+
+@pytest.mark.parametrize("n,seed", [(4, 0), (8, 1), (16, 2), (32, 3), (50, 4)])
+def test_eigenvalues_match_numpy(n, seed):
+    a = _rand_c(n, seed=seed)
+    w, V = jax.jit(feig.eig)(cx.from_numpy(a))
+    wn = np.sort_complex(cx.to_numpy(CXw := w))
+    ref = np.sort_complex(np.linalg.eigvals(a))
+    np.testing.assert_allclose(wn, ref, atol=1e-10 * np.linalg.norm(a))
+
+
+@pytest.mark.parametrize("n,seed", [(8, 1), (24, 5)])
+def test_eigenvectors_residual(n, seed):
+    a = _rand_c(n, seed=seed)
+    w, V = jax.jit(feig.eig)(cx.from_numpy(a))
+    wn, Vn = cx.to_numpy(w), cx.to_numpy(V)
+    res = np.linalg.norm(a @ Vn - Vn * wn[None, :], axis=0)
+    assert np.max(res) < 1e-10 * np.linalg.norm(a)
+
+
+def test_real_matrix_complex_pairs():
+    # real nonsymmetric matrix: complex-conjugate eigenvalue pairs
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((12, 12))
+    w, V = jax.jit(feig.eig)(cx.from_numpy(a.astype(np.complex128)))
+    wn = np.sort_complex(cx.to_numpy(w))
+    ref = np.sort_complex(np.linalg.eigvals(a))
+    np.testing.assert_allclose(wn, ref, atol=1e-10 * np.linalg.norm(a))
+
+
+def test_diagonal_matrix():
+    d = np.diag(np.arange(1.0, 11.0)).astype(np.complex128)
+    w, V = feig.eig(cx.from_numpy(d))
+    wn = np.sort(cx.to_numpy(w).real)
+    np.testing.assert_allclose(wn, np.arange(1.0, 11.0), atol=1e-12)
+
+
+def test_defective_jordan_block():
+    # J(0) 2x2 Jordan block plus small perturbation: eigenvalues near 0
+    j = np.array([[0, 1], [1e-12, 0]], dtype=np.complex128)
+    w, _ = feig.eig(cx.from_numpy(j))
+    assert np.max(np.abs(cx.to_numpy(w))) < 1e-5
+
+
+def test_clustered_eigenvalues():
+    rng = np.random.default_rng(11)
+    q, _ = np.linalg.qr(_rand_c(16, seed=11))
+    lam = np.concatenate([np.full(8, 2.0 + 0j), 2.0 + 1e-6 * (rng.standard_normal(8) + 1j * rng.standard_normal(8))])
+    a = q @ np.diag(lam) @ q.conj().T
+    w, _ = feig.eig(cx.from_numpy(a))
+    wn = np.sort_complex(cx.to_numpy(w))
+    ref = np.sort_complex(lam)
+    np.testing.assert_allclose(wn, ref, atol=1e-8)
