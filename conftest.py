@@ -4,11 +4,17 @@ import os
 # float64 pair arithmetic (complex128-equivalent) so the reference's residual
 # tolerances (1e-12 .. 1e-14) are checked exactly, and multi-chip sharding is
 # validated without TPU hardware.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+#
+# NOTE the harness boots every python process through an axon sitecustomize
+# that imports jax and registers the remote-TPU backend before conftest runs,
+# and pre-sets JAX_PLATFORMS=axon — so env vars alone cannot select CPU here.
+# `jax.config.update("jax_platforms", ...)` after import does work (backends
+# initialize lazily on first use).
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,1 @@
+from . import eig, lu, qr, svd

@@ -279,3 +279,50 @@ def eig(A: CX):
     V = Z @ Y
     V = cx.normalize_cols(V)
     return w, V
+
+
+def gen_eig(A: CX, B: CX):
+    """Generalized eigenproblem A x = lambda B x for small dense pairs.
+
+    TPU-native replacement for LAPACK zggev (`eigen!(Aq, Bq)` at feast.jl:122,
+    companion.jl:15, beyn.jl:78; hand-bound at lapack.jl:32-97).
+
+    Reduction B^{-1} A -> standard Schur eig.  Valid when B is invertible —
+    which holds at every call site in the FEAST family: the Rayleigh-Ritz
+    B_q = Q^H B Q with orthonormal Q, and rank-truncated Hankel pencils.
+    (A full QZ iteration for singular-B pencils is a planned extension.)
+    Returns (w, V) with A V ~= B V diag(w).
+    """
+    from . import lu as lumod
+
+    LU, perm = lumod.lu_factor(B)
+    C = lumod.lu_solve(LU, perm, A)
+    return eig(C)
+
+
+def eig_left(A: CX):
+    """Left eigenvectors: y^H A = lambda y^H.  Returns (w, Y).
+
+    Computed as the right eigenvectors of A^H (with conjugated eigenvalues),
+    used by the two-sided `dual_gen_feast` driver (feast.jl:206-212).
+    """
+    wbar, Y = eig(A.H)
+    return wbar.conj(), Y
+
+
+def gen_eig_two_sided(A: CX, B: CX):
+    """Right and left eigenvectors of the pencil (A, B).
+
+    Returns (w, V, W): A V = B V diag(w), W^H A = diag(w) W^H B.
+    Left vectors solve the adjoint pencil (A^H, B^H) like the reference's
+    dual_gen_feast (feast.jl:206-212).
+    """
+    from . import lu as lumod
+
+    LU, perm = lumod.lu_factor(B)
+    C = lumod.lu_solve(LU, perm, A)          # B^{-1} A
+    w, V = eig(C)
+    LUh, permh = lumod.lu_factor(B.H)
+    Ch = lumod.lu_solve(LUh, permh, A.H)      # B^{-H} A^H
+    wl, W = eig(Ch)
+    return w, V, (wl, W)

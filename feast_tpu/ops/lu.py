@@ -1,0 +1,269 @@
+"""Batched dense complex LU with partial pivoting + triangular solves.
+
+TPU-native replacement for the reference's LAPACK `zgetrf`/`zgetrs` path
+(FEASTSolver.jl: `factorizer=lu` default at feast.jl:5, per-node `lu!` at
+beyn.jl:18, cached factorizations at feast.jl:28-38 / nlfeast.jl:17-28).
+
+Design (TPU-first, not a LAPACK translation):
+  * complex arithmetic = CX real pairs (see cx.py); the trailing-submatrix
+    update is a Karatsuba complex GEMM that rides the MXU;
+  * right-looking *blocked* factorization with a **static Python block loop**
+    (block edges are compile-time constants, so every slice is static and XLA
+    sees fixed-shape GEMMs — no masking waste on the O(n^3) work);
+  * the O(n·b^2) panel factorization runs in a `lax.fori_loop` with dynamic
+    row/column indexing (VPU work, negligible vs the GEMM);
+  * partial pivoting by |.|^2 argmax; swaps are recorded per panel and applied
+    to the off-panel columns as a single gather (LAPACK laswp equivalent);
+  * everything is jit/vmap-safe: `vmap(lu_factor)` batches over contour nodes,
+    which is how the per-node factorization cache of the reference becomes one
+    batched tensor (nodes, n, n).
+
+Zero pivots are guarded (replaced by eps-scaled values) so singular shifted
+matrices produce large-but-finite results instead of NaN — the driver detects
+these through residuals, mirroring the reference's (absent) handling.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .. import cx
+from ..cx import CX
+
+
+# ---------------------------------------------------------------------------
+# small dynamic-index helpers (traced row/col index)
+# ---------------------------------------------------------------------------
+
+def _get_col(P: CX, k) -> CX:
+    m = P.shape[0]
+    return CX(
+        lax.dynamic_slice(P.re, (0, k), (m, 1))[:, 0],
+        lax.dynamic_slice(P.im, (0, k), (m, 1))[:, 0],
+    )
+
+
+def _set_col(P: CX, k, col: CX) -> CX:
+    return CX(
+        lax.dynamic_update_slice(P.re, col.re[:, None], (0, k)),
+        lax.dynamic_update_slice(P.im, col.im[:, None], (0, k)),
+    )
+
+
+def _get_row(P: CX, k) -> CX:
+    n = P.shape[1]
+    return CX(
+        lax.dynamic_slice(P.re, (k, 0), (1, n))[0],
+        lax.dynamic_slice(P.im, (k, 0), (1, n))[0],
+    )
+
+
+def _swap_rows(P: CX, i, j) -> CX:
+    ri, rj = _get_row(P, i), _get_row(P, j)
+    P = CX(lax.dynamic_update_slice(P.re, rj.re[None, :], (i, 0)),
+           lax.dynamic_update_slice(P.im, rj.im[None, :], (i, 0)))
+    P = CX(lax.dynamic_update_slice(P.re, ri.re[None, :], (j, 0)),
+           lax.dynamic_update_slice(P.im, ri.im[None, :], (j, 0)))
+    return P
+
+
+def _scalar(P: CX, i, j) -> CX:
+    return CX(lax.dynamic_slice(P.re, (i, j), (1, 1))[0, 0],
+              lax.dynamic_slice(P.im, (i, j), (1, 1))[0, 0])
+
+
+# ---------------------------------------------------------------------------
+# panel factorization (unblocked, fori_loop)
+# ---------------------------------------------------------------------------
+
+def _panel_lu(P: CX):
+    """LU with partial pivoting of an (m, b) panel, m >= b.
+
+    Returns (P_factored, swaps) where swaps[k] is the row swapped with row k
+    at step k (local panel row indices).  L has unit diagonal, stored below,
+    U on/above; multipliers overwrite the eliminated entries.
+    """
+    m, b = P.shape
+    rows = jnp.arange(m)
+    eps = jnp.finfo(P.dtype).eps
+
+    def body(k, state):
+        P, swaps = state
+        col = _get_col(P, k)
+        mag = cx.abs2(col)
+        mag = jnp.where(rows >= k, mag, -1.0)
+        p = jnp.argmax(mag)
+        swaps = swaps.at[k].set(p.astype(jnp.int32))
+        P = _swap_rows(P, k, p)
+        col = _get_col(P, k)
+        piv = _scalar(P, k, k)
+        pmag2 = cx.abs2(piv)
+        # guard exact zero pivot: substitute a tiny value with pivot's phase
+        tiny = eps * eps
+        piv = cx.where(pmag2 > 0.0, piv, cx.as_cx(complex(1.0, 0.0), P.dtype) * tiny)
+        inv = cx.creciprocal(piv)
+        below = rows > k
+        mult = cx.where(below, col * inv, col)
+        P = _set_col(P, k, mult)
+        # rank-1 trailing update restricted to panel: rows>k, cols>k
+        rowk = _get_row(P, k)
+        cols = jnp.arange(b)
+        rmask = below.astype(P.dtype)
+        cmask = (cols > k).astype(P.dtype)
+        mr = CX(mult.re * rmask, mult.im * rmask)
+        rk = CX(rowk.re * cmask, rowk.im * cmask)
+        upd = CX(mr.re[:, None] * rk.re[None, :] - mr.im[:, None] * rk.im[None, :],
+                 mr.re[:, None] * rk.im[None, :] + mr.im[:, None] * rk.re[None, :])
+        return P - upd, swaps
+
+    swaps0 = jnp.zeros((b,), jnp.int32)
+    P, swaps = lax.fori_loop(0, min(b, m), body, (P, swaps0))
+    return P, swaps
+
+
+def _swaps_to_perm(swaps, m):
+    """Compose the sequential row swaps into a single permutation of 0..m-1."""
+    perm = jnp.arange(m)
+
+    def body(k, perm):
+        p = swaps[k]
+        pk, pp = perm[k], perm[p]
+        return perm.at[k].set(pp).at[p].set(pk)
+
+    return lax.fori_loop(0, swaps.shape[0], body, perm)
+
+
+# ---------------------------------------------------------------------------
+# small triangular solves (fori_loop over rows)
+# ---------------------------------------------------------------------------
+
+def _unit_lower_solve_small(L: CX, B: CX) -> CX:
+    """Solve L X = B with L (b,b) unit lower triangular, B (b, k)."""
+    b = L.shape[0]
+    cols = jnp.arange(b)
+
+    def body(i, B):
+        mask = (cols < i).astype(L.dtype)
+        rowL = _get_row(L, i)
+        rowL = CX(rowL.re * mask, rowL.im * mask)
+        # num = rowL @ B
+        num = CX(rowL.re @ B.re - rowL.im @ B.im,
+                 rowL.re @ B.im + rowL.im @ B.re)
+        rowB = _get_row(B, i)
+        new = rowB - num
+        return CX(lax.dynamic_update_slice(B.re, new.re[None, :], (i, 0)),
+                  lax.dynamic_update_slice(B.im, new.im[None, :], (i, 0)))
+
+    return lax.fori_loop(0, b, body, B)
+
+
+def _upper_solve_small(U: CX, B: CX) -> CX:
+    """Solve U X = B with U (b,b) upper triangular (general diagonal)."""
+    b = U.shape[0]
+    cols = jnp.arange(b)
+    eps = jnp.finfo(U.dtype).eps
+
+    def body(t, B):
+        i = b - 1 - t
+        mask = (cols > i).astype(U.dtype)
+        rowU = _get_row(U, i)
+        rowUm = CX(rowU.re * mask, rowU.im * mask)
+        num = CX(rowUm.re @ B.re - rowUm.im @ B.im,
+                 rowUm.re @ B.im + rowUm.im @ B.re)
+        d = _scalar(U, i, i)
+        dmag2 = cx.abs2(d)
+        d = cx.where(dmag2 > 0.0, d, cx.as_cx(1.0, U.dtype) * (eps * eps))
+        rowB = _get_row(B, i)
+        new = cx.cdiv(rowB - num, CX(jnp.broadcast_to(d.re, rowB.shape),
+                                     jnp.broadcast_to(d.im, rowB.shape)))
+        return CX(lax.dynamic_update_slice(B.re, new.re[None, :], (i, 0)),
+                  lax.dynamic_update_slice(B.im, new.im[None, :], (i, 0)))
+
+    return lax.fori_loop(0, b, body, B)
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+def lu_factor(A: CX, block: int = 64):
+    """Blocked LU with partial pivoting: P A = L U.
+
+    Returns (LU, perm) with L (unit diag) and U packed in LU, and perm the
+    row permutation as an index vector (solve uses B[perm]).
+    Batched use: `jax.vmap(lu_factor)` over a leading node axis.
+    """
+    n = A.shape[0]
+    assert A.shape[0] == A.shape[1], "lu_factor expects square matrices"
+    perm = jnp.arange(n)
+
+    for j in range(0, n, block):
+        b = min(block, n - j)
+        # panel = A[j:, j:j+b]
+        panel = CX(A.re[j:, j:j + b], A.im[j:, j:j + b])
+        panel, swaps = _panel_lu(panel)
+        sub_perm = _swaps_to_perm(swaps, n - j)  # permutation of rows j..n-1
+        # apply row permutation to the off-panel columns and to perm
+        left = CX(A.re[j:, :j][sub_perm], A.im[j:, :j][sub_perm])
+        right = CX(A.re[j:, j + b:][sub_perm], A.im[j:, j + b:][sub_perm])
+        perm = perm.at[j:].set(perm[j:][sub_perm])
+        if right.shape[1] > 0:
+            # U12 = L11^{-1} A12  (b x rest)
+            L11 = CX(panel.re[:b, :b], panel.im[:b, :b])
+            U12 = _unit_lower_solve_small(L11, CX(right.re[:b], right.im[:b]))
+            # trailing update A22 -= L21 @ U12  (the MXU GEMM)
+            L21 = CX(panel.re[b:, :b], panel.im[b:, :b])
+            if L21.shape[0] > 0:
+                A22 = CX(right.re[b:], right.im[b:]) - cx.cmatmul(L21, U12)
+            else:
+                A22 = CX(right.re[b:], right.im[b:])
+            right = cx.concatenate([U12, A22], axis=0)
+        # reassemble A
+        bottom = cx.concatenate([left, panel, right], axis=1)
+        A = CX(jnp.concatenate([A.re[:j], bottom.re], axis=0),
+               jnp.concatenate([A.im[:j], bottom.im], axis=0))
+    return A, perm
+
+
+def lu_solve(LU: CX, perm, B: CX, block: int = 64) -> CX:
+    """Solve A X = B given (LU, perm) from `lu_factor`.  B is (n, k)."""
+    n = LU.shape[0]
+    X = CX(B.re[perm], B.im[perm])
+    # forward: L X = B  (unit lower)
+    for j in range(0, n, block):
+        b = min(block, n - j)
+        if j > 0:
+            Lj = CX(LU.re[j:j + b, :j], LU.im[j:j + b, :j])
+            upd = cx.cmatmul(Lj, CX(X.re[:j], X.im[:j]))
+            X = CX(X.re.at[j:j + b].add(-upd.re), X.im.at[j:j + b].add(-upd.im))
+        Ld = CX(LU.re[j:j + b, j:j + b], LU.im[j:j + b, j:j + b])
+        Xd = _unit_lower_solve_small(Ld, CX(X.re[j:j + b], X.im[j:j + b]))
+        X = CX(X.re.at[j:j + b].set(Xd.re), X.im.at[j:j + b].set(Xd.im))
+    # backward: U X = Y
+    starts = list(range(0, n, block))
+    for j in reversed(starts):
+        b = min(block, n - j)
+        if j + b < n:
+            Uj = CX(LU.re[j:j + b, j + b:], LU.im[j:j + b, j + b:])
+            upd = cx.cmatmul(Uj, CX(X.re[j + b:], X.im[j + b:]))
+            X = CX(X.re.at[j:j + b].add(-upd.re), X.im.at[j:j + b].add(-upd.im))
+        Ud = CX(LU.re[j:j + b, j:j + b], LU.im[j:j + b, j:j + b])
+        Xd = _upper_solve_small(Ud, CX(X.re[j:j + b], X.im[j:j + b]))
+        X = CX(X.re.at[j:j + b].set(Xd.re), X.im.at[j:j + b].set(Xd.im))
+    return X
+
+
+def solve(A: CX, B: CX, block: int = 64) -> CX:
+    """One-shot dense solve A X = B (factor + solve)."""
+    LU, perm = lu_factor(A, block=block)
+    return lu_solve(LU, perm, B, block=block)
+
+
+# batched convenience wrappers (leading axis = contour node)
+lu_factor_batched = jax.vmap(lu_factor, in_axes=(0,), out_axes=(0, 0))
+lu_solve_batched = jax.vmap(lu_solve, in_axes=(0, 0, 0), out_axes=0)
+solve_batched = jax.vmap(solve, in_axes=(0, 0), out_axes=0)

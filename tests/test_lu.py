@@ -1,0 +1,64 @@
+"""Blocked complex-pair LU vs numpy/scipy ground truth."""
+
+import jax
+import numpy as np
+import pytest
+
+from feast_tpu import cx
+from feast_tpu.ops import lu
+
+
+def _rand_c(rng, *shape):
+    return rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+
+
+@pytest.mark.parametrize("n,blk", [(5, 64), (64, 16), (130, 64), (257, 64)])
+def test_solve_residual(n, blk):
+    rng = np.random.default_rng(n)
+    a = _rand_c(rng, n, n)
+    b = _rand_c(rng, n, 7)
+    X = cx.to_numpy(jax.jit(lambda A, B: lu.solve(A, B, block=blk))(
+        cx.from_numpy(a), cx.from_numpy(b)))
+    assert np.linalg.norm(a @ X - b) / np.linalg.norm(b) < 1e-11
+
+
+def test_factor_then_multi_solve():
+    # the FEAST `store=true` pattern: factor once, solve many RHS blocks
+    rng = np.random.default_rng(0)
+    n = 96
+    a = _rand_c(rng, n, n)
+    LU, perm = jax.jit(lu.lu_factor)(cx.from_numpy(a))
+    for seed in (1, 2):
+        b = _rand_c(np.random.default_rng(seed), n, 4)
+        X = cx.to_numpy(jax.jit(lu.lu_solve)(LU, perm, cx.from_numpy(b)))
+        assert np.linalg.norm(a @ X - b) < 1e-10
+
+
+def test_batched_over_nodes():
+    rng = np.random.default_rng(1)
+    a = _rand_c(rng, 4, 50, 50)
+    b = _rand_c(rng, 4, 50, 3)
+    X = cx.to_numpy(jax.jit(lu.solve_batched)(cx.from_numpy(a), cx.from_numpy(b)))
+    res = np.einsum("bij,bjk->bik", a, X) - b
+    assert np.linalg.norm(res) < 1e-10
+
+
+def test_pivoting_needed():
+    # zero on the diagonal forces pivoting
+    a = np.array([[0.0, 1.0], [1.0, 1.0]], dtype=np.complex128)
+    b = np.array([[1.0], [2.0]], dtype=np.complex128)
+    X = cx.to_numpy(lu.solve(cx.from_numpy(a), cx.from_numpy(b)))
+    np.testing.assert_allclose(a @ X, b, atol=1e-14)
+
+
+def test_ill_conditioned_graded():
+    rng = np.random.default_rng(5)
+    n = 60
+    d = np.logspace(0, -10, n)
+    q1, _ = np.linalg.qr(_rand_c(rng, n, n))
+    q2, _ = np.linalg.qr(_rand_c(rng, n, n))
+    a = q1 @ np.diag(d) @ q2
+    b = _rand_c(rng, n, 2)
+    X = cx.to_numpy(lu.solve(cx.from_numpy(a), cx.from_numpy(b)))
+    # backward-stable: residual small even though forward error is large
+    assert np.linalg.norm(a @ X - b) / np.linalg.norm(b) < 1e-5
