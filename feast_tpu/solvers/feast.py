@@ -1,0 +1,355 @@
+"""Linear FEAST drivers: standard, generalized, and two-sided (dual).
+
+TPU-native re-design of the reference's `feast!`/`gen_feast!`/`dual_gen_feast!`
+(FEASTSolver.jl src/feast.jl:10-80, :89-156, :165-257):
+
+  * functional core — no in-place `!` convention; a `FeastState` is carried
+    through a jitted iteration body; results use static shapes + masks
+    (`inside`) instead of dynamically-shrunk arrays;
+  * the reference's per-node factorization loop (`Threads.@threads`,
+    feast.jl:28-38) becomes ONE batched LU over a leading `node` axis
+    (`vmap(lu_factor)`) — on a device mesh this axis shards across chips and
+    the `Q .+= temp` accumulation (feast.jl:70) becomes a `psum`;
+  * the refinement update keeps the reference's RII form
+    Q = sum_i (X - (A - z_i B)^{-1} R) diag(w_i / (z_i - lam))  (feast.jl:59-70),
+    NOT the plain filter rho(A)X — this is what gives FEAST its
+    residual-inverse-iteration convergence speed;
+  * `store=True` caches the batched factorization across refinement
+    iterations (reference store flag, feast.jl:28); `store=False` refactors
+    every iteration (memory-lean);
+  * `mixed_prec=True` runs the node solves in float32 pairs with the driver
+    math in float64 (reference mixed_prec, feast.jl:19-25).
+
+Semantics parity notes:
+  * X columns are normalized before residuals; residuals are ABSOLUTE column
+    norms ||(A - lam B) x|| (utils.jl:111-116, :166-171);
+  * convergence: max residual over Ritz values inside the contour < tol,
+    checked only if any value is inside (feast.jl:51-56);
+  * the solve/update is skipped once converged or on the final allowed
+    iteration (feast.jl:58).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .. import contour as ct
+from .. import cx
+from ..cx import CX
+from ..ops import eig as eigmod
+from ..ops import lu as lumod
+from ..ops import qr as qrmod
+
+
+class FeastResult(NamedTuple):
+    """Full-width (static-shape) result; `inside` masks the contour."""
+
+    lam: CX          # (m0,) Ritz values
+    X: CX            # (n, m0) Ritz vectors (unit columns)
+    res: jax.Array   # (m0,) absolute residual norms
+    inside: jax.Array  # (m0,) bool: lam inside contour
+    n_iter: int
+    converged: bool
+
+    def filtered(self):
+        """Host-side (lam, X, res) restricted to the contour — the
+        reference's return convention (feast.jl:79)."""
+        mask = np.asarray(self.inside)
+        lam = cx.to_numpy(self.lam)[mask]
+        X = cx.to_numpy(self.X)[:, mask]
+        res = np.asarray(self.res)[mask]
+        return lam, X, res
+
+
+def _as_cx_matrix(A, dtype) -> CX:
+    if isinstance(A, CX):
+        return A
+    return cx.as_cx(np.asarray(A) if not isinstance(A, (jax.Array,)) else A, dtype)
+
+
+def _shifted_batch(A: CX, B: Optional[CX], z: CX) -> CX:
+    """S_i = A - z_i * B (B=None means identity), stacked on a leading node
+    axis — the batched form of the reference's ZmA loop (feast.jl:34-37)."""
+    n = A.shape[0]
+    if B is None:
+        eyer = jnp.eye(n, dtype=A.dtype)
+        sre = A.re[None] - z.re[:, None, None] * eyer[None]
+        sim = A.im[None] - z.im[:, None, None] * eyer[None]
+    else:
+        sre = A.re[None] - (z.re[:, None, None] * B.re[None]
+                            - z.im[:, None, None] * B.im[None])
+        sim = A.im[None] - (z.re[:, None, None] * B.im[None]
+                            + z.im[:, None, None] * B.re[None])
+    return CX(sre, sim)
+
+
+def _rayleigh_ritz(Q: CX, A: CX, B: Optional[CX]):
+    """Orthonormalized Rayleigh-Ritz: returns (lam, X, R, res)."""
+    AQ = cx.cmatmul(A, Q)
+    Aq = cx.cmatmul(Q.H, AQ)
+    if B is None:
+        lam, Xq = eigmod.eig(Aq)
+    else:
+        BQ = cx.cmatmul(B, Q)
+        Bq = cx.cmatmul(Q.H, BQ)
+        lam, Xq = eigmod.gen_eig(Aq, Bq)
+    X = cx.normalize_cols(cx.cmatmul(Q, Xq))
+    AX = cx.cmatmul(A, X)
+    BX = X if B is None else cx.cmatmul(B, X)
+    R = AX - cx.scale_cols(BX, lam)
+    res = cx.col_norms(R)
+    return lam, X, R, res
+
+
+def _node_update(LUb, permb, z: CX, w: CX, X: CX, R: CX, lam: CX,
+                 solve_dtype=None) -> CX:
+    """RII update: Q = sum_i (X - S_i^{-1} R) diag(w_i/(z_i - lam)).
+
+    Batched over the node axis; under shard_map the sum becomes a psum.
+    """
+    if solve_dtype is not None and solve_dtype != R.dtype:
+        R_s = R.astype(solve_dtype)
+    else:
+        R_s = R
+
+    def one_node(LU, perm, zi, wi):
+        temp = lumod.lu_solve(LU, perm, R_s)
+        if temp.dtype != X.dtype:
+            temp = temp.astype(X.dtype)
+        diff = X - temp
+        resolvent = cx.cdiv(CX(jnp.broadcast_to(wi.re, lam.shape),
+                               jnp.broadcast_to(wi.im, lam.shape)),
+                            CX(zi.re - lam.re, zi.im - lam.im))
+        return cx.scale_cols(diff, resolvent)
+
+    terms = jax.vmap(one_node)(LUb, permb, z, w)
+    return CX(jnp.sum(terms.re, axis=0), jnp.sum(terms.im, axis=0))
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "params", "ortho", "store",
+                                             "solve_f32"))
+def _feast_step(Q: CX, A: CX, B, LUb, permb, Sb, z: CX, w: CX,
+                kind: str, params, ortho: str, store: bool,
+                solve_f32: bool):
+    """One FEAST refinement iteration (jitted once per shape)."""
+    Qo = qrmod.orthonormalize(Q, method=ortho)
+    lam, X, R, res = _rayleigh_ritz(Qo, A, B)
+    inside = _in_mask(lam, kind, params)
+    if not store:
+        LUb, permb = lumod.lu_factor_batched(Sb)
+    solve_dtype = jnp.float32 if solve_f32 else None
+    Qn = _node_update(LUb, permb, z, w, X, R, lam, solve_dtype)
+    return Qn, lam, X, res, inside
+
+
+def _in_mask(lam: CX, kind: str, params):
+    """jit-safe in_contour on CX eigenvalues with static contour metadata."""
+    if kind == "circle":
+        c_re, c_im, r = params
+        return (lam.re - c_re) ** 2 + (lam.im - c_im) ** 2 <= r * r
+    if kind == "rect":
+        bl_re, bl_im, tr_re, tr_im = params
+        return ((bl_re < lam.re) & (lam.re < tr_re)
+                & (bl_im < lam.im) & (lam.im < tr_im))
+    raise ValueError("feast drivers need a circle or rect contour "
+                     "(custom contours: supply in_mask yourself)")
+
+
+def _prepare(A, B, X0, contour, c, r, nodes, dtype):
+    A = _as_cx_matrix(A, dtype)
+    B = None if B is None else _as_cx_matrix(B, dtype)
+    X = _as_cx_matrix(X0, dtype)
+    if contour is None:
+        contour = ct.circular_contour_trapezoidal(complex(c), float(r), int(nodes))
+    z = contour.device_nodes(dtype)
+    w = contour.device_weights(dtype)
+    return A, B, X, contour, z, w
+
+
+def feast(A, X0, contour: Optional[ct.Contour] = None, *,
+          c: complex = 0.0 + 0.0j, r: float = 1.0, nodes: int = 8,
+          iters: int = 10, tol: float = 1e-12, store: bool = True,
+          mixed_prec: bool = False, ortho: str = "cholqr2",
+          block: int = 64, debug: bool = False,
+          callback: Optional[Callable] = None) -> FeastResult:
+    """Standard linear FEAST: eigenpairs of A inside the contour.
+
+    Mirrors `feast!(X, A; nodes, iter, c, r, eps, store, mixed_prec)`
+    (feast.jl:3-80).  X0 (n, m0) spans the search subspace; it doubles as a
+    warm restart (pass a previous result's X).
+    """
+    return _drive(A, None, X0, contour, c, r, nodes, iters, tol, store,
+                  mixed_prec, ortho, block, debug, callback)
+
+
+def gen_feast(A, B, X0, contour: Optional[ct.Contour] = None, *,
+              c: complex = 0.0 + 0.0j, r: float = 1.0, nodes: int = 8,
+              iters: int = 10, tol: float = 1e-12, store: bool = True,
+              mixed_prec: bool = False, ortho: str = "cholqr2",
+              block: int = 64, debug: bool = False,
+              callback: Optional[Callable] = None) -> FeastResult:
+    """Generalized linear FEAST: A x = lam B x inside the contour
+    (gen_feast!, feast.jl:82-156)."""
+    if B is None:
+        raise ValueError("gen_feast requires B; use feast() for B=I")
+    return _drive(A, B, X0, contour, c, r, nodes, iters, tol, store,
+                  mixed_prec, ortho, block, debug, callback)
+
+
+def _drive(A, B, X0, contour, c, r, nodes, iters, tol, store,
+           mixed_prec, ortho, block, debug, callback) -> FeastResult:
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    A, B, Q, contour, z, w = _prepare(A, B, X0, contour, c, r, nodes, dtype)
+    solve_f32 = bool(mixed_prec)
+    Sb = _shifted_batch(A, B, z)
+    if solve_f32:
+        Sb = Sb.astype(jnp.float32)
+    if store:
+        LUb, permb = jax.jit(lumod.lu_factor_batched)(Sb)
+        Sb_pass = CX(jnp.zeros((0,)), jnp.zeros((0,)))  # placeholder, unused
+    else:
+        LUb = CX(jnp.zeros((0,)), jnp.zeros((0,)))
+        permb = jnp.zeros((0,), jnp.int32)
+        Sb_pass = Sb
+
+    lam = X = res = inside = None
+    n_iter = 0
+    converged = False
+    for nit in range(iters + 1):
+        n_iter = nit
+        Qn, lam, X, res, inside = _feast_step(
+            Q, A, B, LUb, permb, Sb_pass, z, w,
+            contour.kind, contour.params, ortho, store, solve_f32)
+        res_h = np.asarray(res)
+        inside_h = np.asarray(inside)
+        if debug:
+            _debug_print(nit, lam, res_h, inside_h)
+        if callback is not None:
+            callback(nit, lam, res_h, inside_h)
+        if inside_h.any() and res_h[inside_h].max() < tol:
+            converged = True
+            if debug:
+                print(f"converged in {nit} iterations")
+            break
+        Q = Qn  # reference skips the final-update too (feast.jl:58)
+    if not np.asarray(inside).any():
+        print("no eigenvalues found in contour!")
+    return FeastResult(lam, X, res, inside, n_iter, converged)
+
+
+def _debug_print(nit, lam, res, inside, spurious_tol=1e-5):
+    """Per-iteration diagnostic like the reference's iter_debug_print
+    (utils.jl:2-42): count inside / non-spurious and max residuals."""
+    n_in = int(inside.sum())
+    if n_in:
+        res_in = res[inside]
+        non_spur = res_in < spurious_tol
+        print(f"{nit}: {n_in} ({int(non_spur.sum())}) "
+              f"{res_in.max():.3e} ({res_in[non_spur].max() if non_spur.any() else float('nan'):.3e})")
+    else:
+        print(f"{nit}: 0 inside")
+
+
+# ---------------------------------------------------------------------------
+# two-sided FEAST
+# ---------------------------------------------------------------------------
+
+class DualFeastResult(NamedTuple):
+    lam: CX
+    Xr: CX
+    Xl: CX
+    res: jax.Array
+    inside: jax.Array
+    n_iter: int
+    converged: bool
+
+    def filtered(self):
+        mask = np.asarray(self.inside)
+        return (cx.to_numpy(self.lam)[mask], cx.to_numpy(self.Xr)[:, mask],
+                cx.to_numpy(self.Xl)[:, mask], np.asarray(self.res)[mask])
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "params",))
+def _dual_step(Qr: CX, Ql: CX, A: CX, B: CX, LUr, permr, LUl, perml,
+               z: CX, w: CX, kind: str, params):
+    from ..ops import svd as svdmod
+
+    # bi-orthonormalization via SVD of Ql^H B Qr (feast.jl:199-201);
+    # we use S^{-1/2} on both sides so Ql^H B Qr = I exactly.
+    M = cx.cmatmul(Ql.H, cx.cmatmul(B, Qr))
+    U, s, Vh = svdmod.svd(M)
+    eps = jnp.finfo(s.dtype).eps
+    s_inv_sqrt = 1.0 / jnp.sqrt(jnp.maximum(s, eps * jnp.maximum(s[0], 1.0)))
+    Qr = cx.scale_cols(cx.cmatmul(Qr, Vh.H), cx.CX(s_inv_sqrt, jnp.zeros_like(s)))
+    Ql = cx.scale_cols(cx.cmatmul(Ql, U), cx.CX(s_inv_sqrt, jnp.zeros_like(s)))
+    # oblique Rayleigh-Ritz
+    Aq = cx.cmatmul(Ql.H, cx.cmatmul(A, Qr))
+    Bq = cx.cmatmul(Ql.H, cx.cmatmul(B, Qr))
+    lam, Xq = eigmod.gen_eig(Aq, Bq)
+    laml, Xql = eigmod.gen_eig(Aq.H, Bq.H)
+    Xr = cx.normalize_cols(cx.cmatmul(Qr, Xq))
+    Xl = cx.normalize_cols(cx.cmatmul(Ql, Xql))
+    Rr = cx.cmatmul(A, Xr) - cx.scale_cols(cx.cmatmul(B, Xr), lam)
+    Rl = cx.cmatmul(A.H, Xl) - cx.scale_cols(cx.cmatmul(B.H, Xl), lam.conj())
+    res = cx.col_norms(Rr)
+    inside = _in_mask(lam, kind, params)
+
+    def one_node(LUri, permri, LUli, permli, zi, wi):
+        tr = lumod.lu_solve(LUri, permri, Rr)
+        rr = cx.cdiv(CX(jnp.broadcast_to(wi.re, lam.shape),
+                        jnp.broadcast_to(wi.im, lam.shape)),
+                     CX(zi.re - lam.re, zi.im - lam.im))
+        termr = cx.scale_cols(Xr - tr, rr)
+        tl = lumod.lu_solve(LUli, permli, Rl)
+        zlc = CX(zi.re, -zi.im)
+        wlc = CX(wi.re, -wi.im)
+        rl = cx.cdiv(CX(jnp.broadcast_to(wlc.re, lam.shape),
+                        jnp.broadcast_to(wlc.im, lam.shape)),
+                     CX(zlc.re - lam.re, zlc.im + lam.im))
+        terml = cx.scale_cols(Xl - tl, rl)
+        return termr, terml
+
+    termr, terml = jax.vmap(one_node)(LUr, permr, LUl, perml, z, w)
+    Qr_new = CX(jnp.sum(termr.re, axis=0), jnp.sum(termr.im, axis=0))
+    Ql_new = CX(jnp.sum(terml.re, axis=0), jnp.sum(terml.im, axis=0))
+    return Qr_new, Ql_new, lam, Xr, Xl, res, inside
+
+
+def dual_gen_feast(A, B, Xr0, Xl0, contour: Optional[ct.Contour] = None, *,
+                   c: complex = 0.0 + 0.0j, r: float = 1.0, nodes: int = 8,
+                   iters: int = 10, tol: float = 1e-12,
+                   debug: bool = False) -> DualFeastResult:
+    """Two-sided generalized FEAST (dual_gen_feast!, feast.jl:158-257):
+    refines right and left subspaces, node solves with A - zB and its
+    adjoint (2x solve cost), SVD bi-orthonormalization each iteration."""
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    A, B, Qr, contour, z, w = _prepare(A, B, Xr0, contour, c, r, nodes, dtype)
+    Ql = _as_cx_matrix(Xl0, dtype)
+    Sb = _shifted_batch(A, B, z)
+    LUr, permr = jax.jit(lumod.lu_factor_batched)(Sb)
+    Sb_l = CX(jnp.swapaxes(Sb.re, -1, -2), -jnp.swapaxes(Sb.im, -1, -2))
+    LUl, perml = jax.jit(lumod.lu_factor_batched)(Sb_l)
+
+    lam = Xr = Xl = res = inside = None
+    n_iter, converged = 0, False
+    for nit in range(iters + 1):
+        n_iter = nit
+        Qrn, Qln, lam, Xr, Xl, res, inside = _dual_step(
+            Qr, Ql, A, B, LUr, permr, LUl, perml, z, w,
+            contour.kind, contour.params)
+        res_h, inside_h = np.asarray(res), np.asarray(inside)
+        if debug:
+            _debug_print(nit, lam, res_h, inside_h)
+        if inside_h.any() and res_h[inside_h].max() < tol:
+            converged = True
+            break
+        Qr, Ql = Qrn, Qln
+    if not np.asarray(inside).any():
+        print("no eigenvalues found in contour!")
+    return DualFeastResult(lam, Xr, Xl, res, inside, n_iter, converged)

@@ -1,0 +1,128 @@
+"""Linear FEAST drivers vs the reference's CI goldens.
+
+Replicates test/runtests.jl:
+  * diag(1:25), circle c=1.5 r=2.0: finds exactly {1,2,3}, res < 1e-12
+    (runtests.jl:14-28), standard + generalized (B=I) + dual two-sided;
+  * 100x100 1-D Laplacian slice c=0.05 r=0.05: exactly 10 eigenvalues with
+    res < 1e-14 through THREE different contour types (runtests.jl:31-51).
+"""
+
+import numpy as np
+import pytest
+
+from feast_tpu import contour as ct
+from feast_tpu.solvers import dual_gen_feast, feast, gen_feast
+
+
+def _x0(rng, n, m):
+    return rng.standard_normal((n, m)) + 1j * rng.standard_normal((n, m))
+
+
+@pytest.fixture
+def diag25():
+    A = np.diag(np.arange(1.0, 26.0)).astype(np.complex128)
+    X0 = _x0(np.random.default_rng(0), 25, 5)
+    return A, X0
+
+
+def test_feast_diag(diag25):
+    A, X0 = diag25
+    res = feast(A, X0, c=1.5 + 0j, r=2.0, nodes=8, iters=10, tol=1e-12)
+    lam, X, r = res.filtered()
+    assert res.converged
+    np.testing.assert_allclose(np.sort(lam.real), [1.0, 2.0, 3.0], atol=1e-10)
+    assert np.abs(lam.imag).max() < 1e-10
+    assert r.max() < 1e-12
+    # eigenvector residual double-check
+    rr = np.linalg.norm(A @ X - X * lam[None, :], axis=0)
+    assert rr.max() < 1e-12
+
+
+def test_gen_feast_identity_B(diag25):
+    A, X0 = diag25
+    res = gen_feast(A, np.eye(25, dtype=np.complex128), X0,
+                    c=1.5 + 0j, r=2.0, nodes=8)
+    lam, _, r = res.filtered()
+    np.testing.assert_allclose(np.sort(lam.real), [1.0, 2.0, 3.0], atol=1e-10)
+    assert r.max() < 1e-12
+
+
+def test_dual_gen_feast(diag25):
+    A, X0 = diag25
+    res = dual_gen_feast(A, np.eye(25, dtype=np.complex128), X0, X0.copy(),
+                         c=1.5 + 0j, r=2.0, nodes=8)
+    lam, Xr, Xl, r = res.filtered()
+    np.testing.assert_allclose(np.sort(lam.real), [1.0, 2.0, 3.0], atol=1e-10)
+    assert r.max() < 1e-12
+    # left vectors: y^H A = lam y^H
+    rl = np.linalg.norm(Xl.conj().T @ A - lam[:, None] * Xl.conj().T, axis=1)
+    assert rl.max() < 1e-10
+
+
+def _laplacian(n):
+    return (np.diag(np.full(n, 2.0)) - np.diag(np.ones(n - 1), 1)
+            - np.diag(np.ones(n - 1), -1)).astype(np.complex128)
+
+
+@pytest.mark.parametrize("maker", [
+    lambda: ct.circular_contour_trapezoidal(0.05 + 0j, 0.05, 8),
+    lambda: ct.rectangular_contour_trapezoidal(0.0 - 0.05j, 0.1 + 0.05j, 8),
+    lambda: ct.rectangular_contour_gauss(0.0 - 0.05j, 0.1 + 0.05j, 8),
+])
+def test_laplacian_slice_contour_invariance(maker):
+    # same 10 eigenvalues through three quadratures (runtests.jl:31-51)
+    L = _laplacian(100)
+    X0 = _x0(np.random.default_rng(1), 100, 15)
+    res = feast(L, X0, contour=maker(), iters=30, tol=1e-14)
+    lam, _, r = res.filtered()
+    assert len(lam) == 10
+    assert r.max() < 1e-14
+    exact = 2.0 - 2.0 * np.cos(np.pi * np.arange(1, 101) / 101)
+    expected = exact[(exact > 0.0) & (exact < 0.1)]
+    np.testing.assert_allclose(np.sort(lam.real), np.sort(expected), atol=1e-12)
+
+
+def test_store_false_matches_store_true(diag25):
+    A, X0 = diag25
+    r1 = feast(A, X0, c=1.5 + 0j, r=2.0, nodes=8, store=True)
+    r2 = feast(A, X0, c=1.5 + 0j, r=2.0, nodes=8, store=False)
+    np.testing.assert_allclose(np.sort(r1.filtered()[0].real),
+                               np.sort(r2.filtered()[0].real), atol=1e-12)
+
+
+def test_mixed_precision_converges_coarser(diag25):
+    A, X0 = diag25
+    res = feast(A, X0, c=1.5 + 0j, r=2.0, nodes=8, mixed_prec=True,
+                tol=1e-5, iters=15)
+    lam, _, r = res.filtered()
+    np.testing.assert_allclose(np.sort(lam.real), [1.0, 2.0, 3.0], atol=1e-4)
+    assert r.max() < 1e-5
+
+
+def test_warm_restart(diag25):
+    # X output fed back in converges immediately (bang-convention parity:
+    # feast.jl:3 — X is in/out and doubles as warm-restart state)
+    A, X0 = diag25
+    r1 = feast(A, X0, c=1.5 + 0j, r=2.0, nodes=8, iters=3, tol=1e-30)
+    from feast_tpu import cx as cxm
+    r2 = feast(A, cxm.to_numpy(r1.X), c=1.5 + 0j, r=2.0, nodes=8, tol=1e-12)
+    assert r2.converged
+    assert r2.n_iter <= 3
+
+
+def test_non_hermitian_random():
+    # cross-validate against numpy eig on a random non-Hermitian matrix
+    # (reference test/contour_random.jl)
+    rng = np.random.default_rng(7)
+    n = 60
+    A = (rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))) / np.sqrt(n)
+    wref = np.linalg.eigvals(A)
+    c, r = 0.0 + 0.0j, 0.6
+    m_in = (np.abs(wref - c) <= r).sum()
+    X0 = _x0(rng, n, int(m_in) + 8)
+    res = feast(A, X0, c=c, r=r, nodes=16, iters=30, tol=1e-10)
+    lam, _, rres = res.filtered()
+    assert len(lam) == m_in
+    ref_in = np.sort_complex(wref[np.abs(wref - c) <= r])
+    got = np.sort_complex(lam)
+    np.testing.assert_allclose(got, ref_in, atol=1e-8)
