@@ -1,1 +1,18 @@
-from . import cx, contour, config
+"""feast_tpu: TPU-native contour-integral eigensolvers (FEAST family).
+
+A from-scratch JAX/XLA re-design with the capabilities of
+spacedome/FEASTSolver.jl: linear FEAST (standard/generalized/two-sided),
+nonlinear FEAST with higher moments, Beyn and block Sakurai-Sugiura methods,
+companion linearization, and stochastic contour eigenvalue counting —
+batched over contour nodes, sharded over device meshes.
+"""
+
+from . import config, contour, cx, nep, ops, solvers
+from .contour import (circular_contour_gauss, circular_contour_trapezoidal,
+                      custom_contour, in_contour, rational_func,
+                      rectangular_contour_gauss,
+                      rectangular_contour_trapezoidal)
+from .nep import CallableNEP, LinearPencilNEP, PolynomialNEP, SPMF
+from .solvers import (beyn, block_ss, companion, contour_estimate_eig,
+                      dual_gen_feast, feast, gen_feast, nlfeast,
+                      nlfeast_moments)

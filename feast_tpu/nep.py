@@ -1,0 +1,179 @@
+"""Nonlinear eigenproblem (NEP) representations.
+
+The reference passes T(z) as an opaque Julia callable that materializes the
+matrix (nlfeast.jl:2, beyn.jl:2) — fine for a host language, hostile to XLA.
+The TPU-native design represents T in **SPMF form** (sum of products of
+matrices and functions):
+
+    T(z) = sum_j f_j(z) * A_j
+
+with static matrices A_j and jit-safe scalar functions f_j.  This covers every
+problem in the reference's test suite (polynomial: butterfly/system5/quadratic;
+exponential: hadeler, dep_distributed; sqrt branch: gun) and yields:
+
+  * node matrices T(z_i): one einsum over the coefficient stack (MXU);
+  * residual columns T(lam_k) x_k for ALL Ritz values at once:
+        R = sum_j scale_cols(A_j @ X, f_j(lam))      — d+1 GEMMs total,
+    instead of the reference's per-Ritz-value matrix materialization
+    (utils.jl:104-109);
+  * Frobenius norms ||T(lam)||_F for relative residuals via the precomputed
+    Gram tensor G_jk = <A_j, A_k>_F:
+        ||T(lam)||^2 = sum_jk conj(f_j) f_k G_jk     — O(d^2) per lam.
+
+A `CallableNEP` wrapper supports arbitrary host callables (residuals then run
+on host per iteration — correct but slower; used for parity with gallery
+problems not in SPMF form).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import cx
+from .cx import CX
+
+
+class SPMF:
+    """T(z) = sum_j f_j(z) * A_j with jit-safe f_j: CX scalar/vector -> CX."""
+
+    def __init__(self, terms: Sequence[Tuple[object, Callable]], dtype=None):
+        dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+        self.funcs: List[Callable] = [f for _, f in terms]
+        mats = []
+        for A, _ in terms:
+            if isinstance(A, CX):
+                mats.append(A)
+            else:
+                mats.append(cx.from_numpy(np.asarray(A), dtype))
+        self.mats: List[CX] = mats
+        self.n = mats[0].shape[0]
+        self.d = len(mats)
+        # Gram tensor for Frobenius norms: G_jk = sum conj(A_j) * A_k
+        G = np.empty((self.d, self.d), dtype=np.complex128)
+        for j in range(self.d):
+            for k in range(self.d):
+                Aj = cx.to_numpy(mats[j])
+                Ak = cx.to_numpy(mats[k])
+                G[j, k] = np.sum(np.conj(Aj) * Ak)
+        self._gram = cx.from_numpy(G, dtype)
+
+    # -- evaluation ---------------------------------------------------------
+    def coeffs(self, lam: CX) -> CX:
+        """f_j(lam) for all terms: returns CX of shape (d, *lam.shape)."""
+        vals = [f(lam) for f in self.funcs]
+        return cx.stack([cx.as_cx(v, lam.dtype) for v in vals], axis=0)
+
+    def eval_at(self, z: CX) -> CX:
+        """Materialize T(z) for a (traced) scalar z."""
+        co = self.coeffs(z)
+        out = cx.zeros((self.n, self.n), self.mats[0].dtype)
+        for j in range(self.d):
+            cj = CX(co.re[j], co.im[j])
+            out = out + CX(self.mats[j].re * cj.re - self.mats[j].im * cj.im,
+                           self.mats[j].re * cj.im + self.mats[j].im * cj.re)
+        return out
+
+    def eval_nodes(self, z: CX) -> CX:
+        """Batch T(z_i) over a node axis: (N, n, n)."""
+        co = self.coeffs(z)  # (d, N)
+        Are = jnp.stack([A.re for A in self.mats])  # (d, n, n)
+        Aim = jnp.stack([A.im for A in self.mats])
+        re = jnp.einsum("dN,dij->Nij", co.re, Are) - jnp.einsum("dN,dij->Nij", co.im, Aim)
+        im = jnp.einsum("dN,dij->Nij", co.re, Aim) + jnp.einsum("dN,dij->Nij", co.im, Are)
+        return CX(re, im)
+
+    def apply_cols(self, X: CX, lam: CX) -> CX:
+        """Columns T(lam_k) x_k for all k at once: (n, m)."""
+        co = self.coeffs(lam)  # (d, m)
+        out = cx.zeros(X.shape, X.dtype)
+        for j in range(self.d):
+            AX = cx.cmatmul(self.mats[j], X)
+            out = out + cx.scale_cols(AX, CX(co.re[j], co.im[j]))
+        return out
+
+    def fro_norms(self, lam: CX) -> jax.Array:
+        """||T(lam_k)||_F for each k (for relative residuals, utils.jl:151)."""
+        co = self.coeffs(lam)  # (d, m)
+        # sum_jk conj(c_j) c_k G_jk  (real, >= 0)
+        acc = jnp.zeros(lam.shape, lam.dtype)
+        for j in range(self.d):
+            for k in range(self.d):
+                g = CX(self._gram.re[j, k], self._gram.im[j, k])
+                cj = CX(co.re[j], -co.im[j])
+                ck = CX(co.re[k], co.im[k])
+                prod = cj * ck * g
+                acc = acc + prod.re
+        return jnp.sqrt(jnp.maximum(acc, 0.0))
+
+
+class PolynomialNEP(SPMF):
+    """T(z) = A_0 + A_1 z + ... + A_d z^d (companion.jl / polynomial tests)."""
+
+    def __init__(self, coeff_mats: Sequence, dtype=None):
+        def monomial(p):
+            if p == 0:
+                return lambda z: cx.CX(jnp.ones_like(z.re), jnp.zeros_like(z.im))
+            return lambda z: cx.cpow_scalar(z, p)
+
+        super().__init__([(A, monomial(p)) for p, A in enumerate(coeff_mats)],
+                         dtype)
+        self.degree = len(self.mats) - 1
+
+
+class LinearPencilNEP(SPMF):
+    """T(z) = A - z B — lets nlfeast solvers run linear problems."""
+
+    def __init__(self, A, B=None, dtype=None):
+        terms = [(A, lambda z: cx.CX(jnp.ones_like(z.re), jnp.zeros_like(z.im)))]
+        if B is None:
+            n = np.asarray(A).shape[0] if not isinstance(A, CX) else A.shape[0]
+            B = np.eye(n, dtype=np.complex128)
+        terms.append((B, lambda z: cx.CX(-z.re, -z.im)))
+        super().__init__(terms, dtype)
+
+
+class CallableNEP:
+    """Arbitrary host callable z -> numpy matrix (reference parity mode).
+
+    Node-factorizations still batch fine (contour nodes are static), but the
+    per-Ritz residual T(lam) x must run on host, so drivers fall back to a
+    host residual loop when given one of these.
+    """
+
+    def __init__(self, fn: Callable, n: int, dtype=None):
+        self.fn = fn
+        self.n = n
+        self.dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64
+                               else jnp.float32)
+
+    def eval_nodes(self, z: CX) -> CX:
+        zs = np.asarray(z.re) + 1j * np.asarray(z.im)
+        mats = np.stack([np.asarray(self.fn(complex(zi)), dtype=np.complex128)
+                         for zi in zs])
+        return cx.from_numpy(mats, self.dtype)
+
+    def host_apply_cols(self, Xn: np.ndarray, lamn: np.ndarray) -> np.ndarray:
+        cols = [np.asarray(self.fn(complex(l)), dtype=np.complex128) @ Xn[:, i]
+                for i, l in enumerate(lamn)]
+        return np.stack(cols, axis=1)
+
+    def host_fro_norms(self, lamn: np.ndarray) -> np.ndarray:
+        return np.array([np.linalg.norm(np.asarray(self.fn(complex(l))))
+                         for l in lamn])
+
+
+def as_nep(T, n=None, dtype=None):
+    """Coerce user input into a NEP object."""
+    if isinstance(T, (SPMF, CallableNEP)):
+        return T
+    if callable(T):
+        if n is None:
+            raise ValueError("CallableNEP needs the problem size n")
+        return CallableNEP(T, n, dtype)
+    if isinstance(T, (list, tuple)):
+        return PolynomialNEP(T, dtype)
+    raise TypeError(f"cannot interpret {type(T)} as a NEP")

@@ -1,1 +1,5 @@
 from .feast import feast, gen_feast, dual_gen_feast, FeastResult, DualFeastResult
+from .nlfeast import nlfeast, nlfeast_moments, NlfeastResult, beyn_svd_extract
+from .beyn import beyn, block_ss, BeynResult
+from .companion import companion, CompanionResult
+from .stochastic import contour_estimate_eig

@@ -176,40 +176,53 @@ def feast(A, X0, contour: Optional[ct.Contour] = None, *,
           c: complex = 0.0 + 0.0j, r: float = 1.0, nodes: int = 8,
           iters: int = 10, tol: float = 1e-12, store: bool = True,
           mixed_prec: bool = False, ortho: str = "cholqr2",
-          block: int = 64, debug: bool = False,
+          block: int = 64, debug: bool = False, mesh=None,
           callback: Optional[Callable] = None) -> FeastResult:
     """Standard linear FEAST: eigenpairs of A inside the contour.
 
     Mirrors `feast!(X, A; nodes, iter, c, r, eps, store, mixed_prec)`
     (feast.jl:3-80).  X0 (n, m0) spans the search subspace; it doubles as a
     warm restart (pass a previous result's X).
+
+    mesh: a `jax.sharding.Mesh` with a `node` axis — the batched node
+    factorizations/solves shard across devices and XLA turns the moment
+    accumulation into a psum (replaces the reference's threaded loop + lock).
     """
     return _drive(A, None, X0, contour, c, r, nodes, iters, tol, store,
-                  mixed_prec, ortho, block, debug, callback)
+                  mixed_prec, ortho, block, debug, callback, mesh)
 
 
 def gen_feast(A, B, X0, contour: Optional[ct.Contour] = None, *,
               c: complex = 0.0 + 0.0j, r: float = 1.0, nodes: int = 8,
               iters: int = 10, tol: float = 1e-12, store: bool = True,
               mixed_prec: bool = False, ortho: str = "cholqr2",
-              block: int = 64, debug: bool = False,
+              block: int = 64, debug: bool = False, mesh=None,
               callback: Optional[Callable] = None) -> FeastResult:
     """Generalized linear FEAST: A x = lam B x inside the contour
     (gen_feast!, feast.jl:82-156)."""
     if B is None:
         raise ValueError("gen_feast requires B; use feast() for B=I")
     return _drive(A, B, X0, contour, c, r, nodes, iters, tol, store,
-                  mixed_prec, ortho, block, debug, callback)
+                  mixed_prec, ortho, block, debug, callback, mesh)
 
 
 def _drive(A, B, X0, contour, c, r, nodes, iters, tol, store,
-           mixed_prec, ortho, block, debug, callback) -> FeastResult:
+           mixed_prec, ortho, block, debug, callback, mesh=None) -> FeastResult:
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     A, B, Q, contour, z, w = _prepare(A, B, X0, contour, c, r, nodes, dtype)
     solve_f32 = bool(mixed_prec)
     Sb = _shifted_batch(A, B, z)
     if solve_f32:
         Sb = Sb.astype(jnp.float32)
+    if mesh is not None:
+        from ..parallel import mesh as pmesh
+        Sb = pmesh.shard_nodes(Sb, mesh)
+        z = pmesh.shard_nodes(z, mesh)
+        w = pmesh.shard_nodes(w, mesh)
+        A = pmesh.replicate(A, mesh)
+        Q = pmesh.replicate(Q, mesh)
+        if B is not None:
+            B = pmesh.replicate(B, mesh)
     if store:
         LUb, permb = jax.jit(lumod.lu_factor_batched)(Sb)
         Sb_pass = CX(jnp.zeros((0,)), jnp.zeros((0,)))  # placeholder, unused

@@ -1,0 +1,321 @@
+"""Nonlinear FEAST: contour-moment solvers with RII refinement.
+
+TPU-native re-design of the reference's `nlfeast!` (nlfeast.jl:2-84) and
+`nlfeast_moments!` (nlfeast.jl:173-318):
+
+  * the threaded node loop + ReentrantLock accumulation (nlfeast.jl:36-61)
+    becomes a batched solve over a leading node axis followed by a sum (a
+    psum over the `node` mesh axis when sharded);
+  * the first iteration applies the plain moment filter T(z)^{-1} X w_i
+    (nlfeast.jl:39-45), later iterations the RII form
+    (X - T(z)^{-1} R) diag(w_i/(z_i - lam)) (nlfeast.jl:46-55);
+  * extraction is the Beyn SVD step (utils.jl:69-77): SVD(Q0), project Q1,
+    eig of the small matrix, X = U * vectors;
+  * the moments variant accumulates 2K moments Q_j += Tinv z^{j-1}
+    (nlfeast.jl:208-211), assembles block-Hankel pencils (nlfeast.jl:213-216)
+    and keeps the residual-sorted top m0 of the K*m0 Ritz pairs for the next
+    update (utils.jl:118-134, nlfeast.jl:229-230);
+  * two-tier stopping (nlfeast.jl:73-79): all-inside < tol, or after iter 1
+    the non-spurious subset (res < spurious) < tol;
+  * unlike the reference (hardcoded trapezoid circle via theta grid,
+    nlfeast.jl:8) these drivers accept any `Contour` — the weights already
+    absorb dz/(2 pi i).
+
+T is an SPMF/PolynomialNEP (fully jitted residuals) or a host callable
+(reference-parity mode; residuals loop on host).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import contour as ct
+from .. import cx
+from ..cx import CX
+from .. import nep as nepmod
+from ..ops import eig as eigmod
+from ..ops import lu as lumod
+from ..ops import qr as qrmod
+from ..ops import svd as svdmod
+from .feast import _in_mask
+
+
+class NlfeastResult(NamedTuple):
+    lam: CX
+    X: CX
+    res: jax.Array
+    inside: jax.Array
+    n_iter: int
+    converged: bool
+
+    def filtered(self, spurious: Optional[float] = None):
+        mask = np.asarray(self.inside)
+        if spurious is not None:
+            mask = mask & (np.asarray(self.res) < spurious)
+        return (cx.to_numpy(self.lam)[mask], cx.to_numpy(self.X)[:, mask],
+                np.asarray(self.res)[mask])
+
+
+def beyn_svd_extract(Q0: CX, Q1: CX, top_rows: Optional[int] = None):
+    """Beyn SVD extraction (utils.jl:69-77): returns (lam, X).
+
+    X = U @ eigvecs(U^H Q1 V diag(1/s)); if top_rows is given, only the
+    first `top_rows` rows of U form X (block-Hankel case, nlfeast.jl:223).
+    """
+    U, s, Vh = svdmod.svd(Q0)
+    eps = jnp.finfo(s.dtype).eps
+    s_safe = jnp.maximum(s, eps * jnp.maximum(s[0], 1.0))
+    M = cx.cmatmul(U.H, cx.cmatmul(Q1, Vh.H))
+    M = CX(M.re / s_safe[None, :], M.im / s_safe[None, :])
+    lam, W = eigmod.eig(M)
+    Utop = U if top_rows is None else CX(U.re[:top_rows], U.im[:top_rows])
+    X = cx.cmatmul(Utop, W)
+    return lam, X
+
+
+def _residuals(T, X: CX, lam: CX):
+    """Normalized columns + relative residuals res = ||T(lam)x|| / ||T(lam)||
+    (utils.jl:104-109, :151-157)."""
+    X = cx.normalize_cols(X)
+    R = T.apply_cols(X, lam)
+    res = cx.col_norms(R) / jnp.maximum(T.fro_norms(lam), jnp.finfo(R.dtype).tiny)
+    return X, R, res
+
+
+# ---------------------------------------------------------------------------
+# nlfeast (single-moment Beyn extraction)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("T", "kind", "params", "first"))
+def _nlfeast_step(T, LUb, permb, z: CX, w: CX, X: CX, R: CX, lam: CX,
+                  kind: str, params, first: bool):
+    def one_node(LU, perm, zi, wi):
+        if first:
+            Tinv = lumod.lu_solve(LU, perm, X)
+            term = cx.scale_cols(Tinv, CX(jnp.broadcast_to(wi.re, (X.shape[1],)),
+                                          jnp.broadcast_to(wi.im, (X.shape[1],))))
+        else:
+            Tinv = lumod.lu_solve(LU, perm, R)
+            resv = cx.cdiv(CX(jnp.broadcast_to(wi.re, lam.shape),
+                              jnp.broadcast_to(wi.im, lam.shape)),
+                           CX(zi.re - lam.re, zi.im - lam.im))
+            term = cx.scale_cols(X - Tinv, resv)
+        q0 = term
+        q1 = cx.scale_cols(term, CX(jnp.broadcast_to(zi.re, (X.shape[1],)),
+                                    jnp.broadcast_to(zi.im, (X.shape[1],))))
+        return q0, q1
+
+    q0s, q1s = jax.vmap(one_node)(LUb, permb, z, w)
+    Q0 = CX(jnp.sum(q0s.re, 0), jnp.sum(q0s.im, 0))
+    Q1 = CX(jnp.sum(q1s.re, 0), jnp.sum(q1s.im, 0))
+    lam_new, Xn = beyn_svd_extract(Q0, Q1)
+    Xn, Rn, res = _residuals(T, Xn, lam_new)
+    inside = _in_mask(lam_new, kind, params)
+    return Xn, Rn, lam_new, res, inside
+
+
+def _stop(nit, res_h, inside_h, tol, spurious):
+    """Two-tier stopping decision (nlfeast.jl:73-79)."""
+    if inside_h.any():
+        res_in = res_h[inside_h]
+        if res_in.max() < tol:
+            return True
+        if nit > 1:
+            non_spur = res_in[res_in < spurious]
+            if len(non_spur) > 0 and non_spur.max() < tol:
+                return True
+    return False
+
+
+def nlfeast(T, X0, nodes: int = 16, iters: int = 10, *,
+            c: complex = 0.0 + 0.0j, r: float = 1.0,
+            contour: Optional[ct.Contour] = None, tol: float = 1e-11,
+            spurious: float = 1e-5, debug: bool = False) -> NlfeastResult:
+    """Nonlinear FEAST (nlfeast!, nlfeast.jl:2-84).
+
+    T: SPMF/PolynomialNEP, coefficient list, or callable z -> matrix.
+    X0: (n, m0) initial subspace (in/out, warm-restartable).
+    """
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    X = X0 if isinstance(X0, CX) else cx.from_numpy(np.asarray(X0), dtype)
+    n, m0 = X.shape
+    T = nepmod.as_nep(T, n=n, dtype=dtype)
+    host_mode = isinstance(T, nepmod.CallableNEP)
+    if contour is None:
+        contour = ct.circular_contour_trapezoidal(complex(c), float(r), nodes)
+    z = contour.device_nodes(dtype)
+    w = contour.device_weights(dtype)
+    Tz = T.eval_nodes(z)
+    LUb, permb = jax.jit(lumod.lu_factor_batched)(Tz)
+    X, _ = qrmod.cholqr2(X)  # reference: X .= Matrix(qr!(X).Q), nlfeast.jl:12-13
+
+    lam = cx.zeros((m0,), dtype)
+    R = cx.zeros((n, m0), dtype)
+    res = inside = None
+    n_iter, converged = 0, False
+    for nit in range(iters + 1):
+        n_iter = nit
+        if host_mode:
+            X, R, lam, res, inside = _nlfeast_step_host(
+                T, LUb, permb, z, w, X, R, lam, contour, nit == 0)
+        else:
+            X, R, lam, res, inside = _nlfeast_step(
+                T, LUb, permb, z, w, X, R, lam,
+                contour.kind, contour.params, nit == 0)
+        res_h, inside_h = np.asarray(res), np.asarray(inside)
+        if debug:
+            _dbg(nit, res_h, inside_h, spurious)
+        if _stop(nit, res_h, inside_h, tol, spurious):
+            converged = True
+            break
+    X = cx.normalize_cols(X)
+    return NlfeastResult(lam, X, res, inside, n_iter, converged)
+
+
+def _nlfeast_step_host(T, LUb, permb, z, w, X, R, lam, contour, first):
+    """Host-residual variant for CallableNEP (reference parity mode)."""
+    def one_node(LU, perm, zi, wi):
+        if first:
+            Tinv = lumod.lu_solve(LU, perm, X)
+            return cx.scale_cols(Tinv, CX(jnp.broadcast_to(wi.re, (X.shape[1],)),
+                                          jnp.broadcast_to(wi.im, (X.shape[1],))))
+        Tinv = lumod.lu_solve(LU, perm, R)
+        resv = cx.cdiv(CX(jnp.broadcast_to(wi.re, lam.shape),
+                          jnp.broadcast_to(wi.im, lam.shape)),
+                       CX(zi.re - lam.re, zi.im - lam.im))
+        return cx.scale_cols(X - Tinv, resv)
+
+    terms = jax.vmap(one_node)(LUb, permb, z, w)
+    Q0 = CX(jnp.sum(terms.re, 0), jnp.sum(terms.im, 0))
+    zb = CX(z.re[:, None, None], z.im[:, None, None])
+    q1 = CX(terms.re * zb.re - terms.im * zb.im,
+            terms.re * zb.im + terms.im * zb.re)
+    Q1 = CX(jnp.sum(q1.re, 0), jnp.sum(q1.im, 0))
+    lam_new, Xn = beyn_svd_extract(Q0, Q1)
+    Xn = cx.normalize_cols(Xn)
+    Xh, lamh = cx.to_numpy(Xn), cx.to_numpy(lam_new)
+    Rh = T.host_apply_cols(Xh, lamh)
+    resh = np.linalg.norm(Rh, axis=0) / np.maximum(T.host_fro_norms(lamh), 1e-300)
+    Rn = cx.from_numpy(Rh, Xn.dtype)
+    inside = np.asarray(ct.in_contour(lamh, contour))
+    return Xn, Rn, lam_new, jnp.asarray(resh), jnp.asarray(inside)
+
+
+def _dbg(nit, res, inside, spurious):
+    n_in = int(inside.sum())
+    if n_in:
+        ri = res[inside]
+        ns = ri[ri < spurious]
+        extra = f" ({ns.max():.3e})" if len(ns) else ""
+        print(f"{nit}: {n_in} ({len(ns)}) {ri.max():.3e}{extra}")
+    else:
+        print(f"{nit}: 0 inside")
+
+
+# ---------------------------------------------------------------------------
+# nlfeast_moments (block-Hankel, K moments)
+# ---------------------------------------------------------------------------
+
+def _hankel(Qm: CX, K: int, n: int, m0: int):
+    """Assemble Q0 = [Q_{i+j-1}], Q1 = [Q_{i+j}] of shape (K n, K m0)
+    from the moment stack Qm (2K, n, m0) (nlfeast.jl:213-216)."""
+    rows0, rows1 = [], []
+    for i in range(K):
+        rows0.append(cx.concatenate([CX(Qm.re[i + j], Qm.im[i + j])
+                                     for j in range(K)], axis=1))
+        rows1.append(cx.concatenate([CX(Qm.re[i + j + 1], Qm.im[i + j + 1])
+                                     for j in range(K)], axis=1))
+    return cx.concatenate(rows0, axis=0), cx.concatenate(rows1, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("T", "K", "kind", "params", "first"))
+def _moments_step(T, LUb, permb, z: CX, w: CX, X: CX, R: CX, lam_m0: CX,
+                  K: int, kind: str, params, first: bool):
+    n, m0 = X.shape
+
+    def one_node(LU, perm, zi, wi):
+        if first:
+            Tinv = lumod.lu_solve(LU, perm, X)
+            term = cx.scale_cols(Tinv, CX(jnp.broadcast_to(wi.re, (m0,)),
+                                          jnp.broadcast_to(wi.im, (m0,))))
+        else:
+            Tinv = lumod.lu_solve(LU, perm, R)
+            resv = cx.cdiv(CX(jnp.broadcast_to(wi.re, (m0,)),
+                              jnp.broadcast_to(wi.im, (m0,))),
+                           CX(zi.re - lam_m0.re, zi.im - lam_m0.im))
+            term = cx.scale_cols(X - Tinv, resv)
+        # moment stack: term * z^(j-1), j = 1..2K
+        powers = [term]
+        zp = CX(jnp.ones((), X.dtype), jnp.zeros((), X.dtype))
+        for j in range(1, 2 * K):
+            zp = zp * CX(zi.re, zi.im)
+            powers.append(cx.scale_cols(term, CX(jnp.broadcast_to(zp.re, (m0,)),
+                                                 jnp.broadcast_to(zp.im, (m0,)))))
+        return cx.stack(powers, axis=0)  # (2K, n, m0)
+
+    stacks = jax.vmap(one_node)(LUb, permb, z, w)  # (nodes, 2K, n, m0)
+    Qm = CX(jnp.sum(stacks.re, 0), jnp.sum(stacks.im, 0))
+    Q0, Q1 = _hankel(Qm, K, n, m0)
+    lam, Y = beyn_svd_extract(Q0, Q1, top_rows=n)  # (K m0,), (n, K m0)
+    Y, Ry, res = _residuals(T, Y, lam)
+    # residual-sorted permutation (update_R_moments!, utils.jl:125-133)
+    p = jnp.argsort(res)
+    res = res[p]
+    lam = CX(lam.re[p], lam.im[p])
+    Y = cx.take_cols(Y, p)
+    Ry = cx.take_cols(Ry, p)
+    X_new = CX(Y.re[:, :m0], Y.im[:, :m0])
+    R_new = CX(Ry.re[:, :m0], Ry.im[:, :m0])
+    lam_new = CX(lam.re[:m0], lam.im[:m0])
+    inside = _in_mask(lam, kind, params)
+    return X_new, R_new, lam_new, Y, lam, res, inside
+
+
+def nlfeast_moments(T, X0, nodes: int = 16, iters: int = 10, *,
+                    moments: int = 2, c: complex = 0.0 + 0.0j, r: float = 1.0,
+                    contour: Optional[ct.Contour] = None, tol: float = 1e-11,
+                    spurious: float = 1e-5, debug: bool = False) -> NlfeastResult:
+    """Higher-moment NLFEAST (nlfeast_moments!, nlfeast.jl:173-318).
+
+    Search space is K*m0 (block Hankel); only the residual-best m0 columns
+    are refined per node solve.  Returns the full K*m0 sorted Ritz set
+    (reference returns `Λ, Y, res`, nlfeast.jl:317).
+    """
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    X = X0 if isinstance(X0, CX) else cx.from_numpy(np.asarray(X0), dtype)
+    n, m0 = X.shape
+    K = int(moments)
+    T = nepmod.as_nep(T, n=n, dtype=dtype)
+    if isinstance(T, nepmod.CallableNEP):
+        raise TypeError("nlfeast_moments needs an SPMF/polynomial NEP "
+                        "(jitted residuals over K*m0 Ritz values)")
+    if contour is None:
+        contour = ct.circular_contour_trapezoidal(complex(c), float(r), nodes)
+    z = contour.device_nodes(dtype)
+    w = contour.device_weights(dtype)
+    Tz = T.eval_nodes(z)
+    LUb, permb = jax.jit(lumod.lu_factor_batched)(Tz)
+
+    lam_m0 = cx.zeros((m0,), dtype)
+    R = cx.zeros((n, m0), dtype)
+    lam_all = Y = res = inside = None
+    n_iter, converged = 0, False
+    for nit in range(iters + 1):
+        n_iter = nit
+        X, R, lam_m0, Y, lam_all, res, inside = _moments_step(
+            T, LUb, permb, z, w, X, R, lam_m0, K,
+            contour.kind, contour.params, nit == 0)
+        res_h = np.asarray(res)[:m0]
+        inside_h = np.asarray(inside)[:m0]
+        if debug:
+            _dbg(nit, res_h, inside_h, spurious)
+        if _stop(nit, res_h, inside_h, tol, spurious):
+            converged = True
+            break
+    Y = cx.normalize_cols(Y)
+    return NlfeastResult(lam_all, Y, res, inside, n_iter, converged)
