@@ -14,5 +14,5 @@ from .contour import (circular_contour_gauss, circular_contour_trapezoidal,
                       rectangular_contour_trapezoidal)
 from .nep import CallableNEP, LinearPencilNEP, PolynomialNEP, SPMF
 from .solvers import (beyn, block_ss, companion, contour_estimate_eig,
-                      dual_gen_feast, feast, gen_feast, nlfeast,
-                      nlfeast_moments)
+                      dual_gen_feast, feast, feast_iterative, gen_feast,
+                      ifeast, nlfeast, nlfeast_moments)

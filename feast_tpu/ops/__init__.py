@@ -1,1 +1,1 @@
-from . import eig, lu, qr, svd
+from . import eig, krylov, lu, qr, sparse, svd

@@ -3,3 +3,4 @@ from .nlfeast import nlfeast, nlfeast_moments, NlfeastResult, beyn_svd_extract
 from .beyn import beyn, block_ss, BeynResult
 from .companion import companion, CompanionResult
 from .stochastic import contour_estimate_eig
+from .ifeast import ifeast, feast_iterative

@@ -108,27 +108,40 @@ def _rayleigh_ritz(Q: CX, A: CX, B: Optional[CX]):
 
 
 def _node_update(LUb, permb, z: CX, w: CX, X: CX, R: CX, lam: CX,
-                 solve_dtype=None) -> CX:
+                 solve_dtype=None, Sb=None, refine: int = 2) -> CX:
     """RII update: Q = sum_i (X - S_i^{-1} R) diag(w_i/(z_i - lam)).
 
     Batched over the node axis; under shard_map the sum becomes a psum.
-    """
-    if solve_dtype is not None and solve_dtype != R.dtype:
-        R_s = R.astype(solve_dtype)
-    else:
-        R_s = R
 
-    def one_node(LU, perm, zi, wi):
+    Mixed precision (`solve_dtype=float32`): the LU solve runs in f32 pairs
+    (4x the f64-emulation matmul throughput on TPU) and `refine` steps of
+    iterative refinement against the f64 shifted matrices Sb recover full
+    f64 backward accuracy — the TPU-native version of the reference's
+    mixed_prec flag (feast.jl:19-25), but WITHOUT its accuracy loss.
+    """
+    mixed = solve_dtype is not None and solve_dtype != R.dtype
+    R_s = R.astype(solve_dtype) if mixed else R
+
+    def one_node(LU, perm, zi, wi, Si):
         temp = lumod.lu_solve(LU, perm, R_s)
-        if temp.dtype != X.dtype:
+        if mixed:
             temp = temp.astype(X.dtype)
+            if Si is not None:
+                for _ in range(refine):
+                    resid = R - cx.cmatmul(Si, temp)
+                    corr = lumod.lu_solve(LU, perm, resid.astype(solve_dtype))
+                    temp = temp + corr.astype(X.dtype)
         diff = X - temp
         resolvent = cx.cdiv(CX(jnp.broadcast_to(wi.re, lam.shape),
                                jnp.broadcast_to(wi.im, lam.shape)),
                             CX(zi.re - lam.re, zi.im - lam.im))
         return cx.scale_cols(diff, resolvent)
 
-    terms = jax.vmap(one_node)(LUb, permb, z, w)
+    if Sb is not None and mixed:
+        terms = jax.vmap(one_node)(LUb, permb, z, w, Sb)
+    else:
+        terms = jax.vmap(lambda LU, perm, zi, wi: one_node(LU, perm, zi, wi, None))(
+            LUb, permb, z, w)
     return CX(jnp.sum(terms.re, axis=0), jnp.sum(terms.im, axis=0))
 
 
@@ -142,9 +155,11 @@ def _feast_step(Q: CX, A: CX, B, LUb, permb, Sb, z: CX, w: CX,
     lam, X, R, res = _rayleigh_ritz(Qo, A, B)
     inside = _in_mask(lam, kind, params)
     if not store:
-        LUb, permb = lumod.lu_factor_batched(Sb)
+        LUb, permb = lumod.lu_factor_batched(
+            Sb.astype(jnp.float32) if solve_f32 else Sb)
     solve_dtype = jnp.float32 if solve_f32 else None
-    Qn = _node_update(LUb, permb, z, w, X, R, lam, solve_dtype)
+    Sb_ref = Sb if (solve_f32 and Sb.re.ndim == 3) else None
+    Qn = _node_update(LUb, permb, z, w, X, R, lam, solve_dtype, Sb_ref)
     return Qn, lam, X, res, inside
 
 
@@ -212,8 +227,6 @@ def _drive(A, B, X0, contour, c, r, nodes, iters, tol, store,
     A, B, Q, contour, z, w = _prepare(A, B, X0, contour, c, r, nodes, dtype)
     solve_f32 = bool(mixed_prec)
     Sb = _shifted_batch(A, B, z)
-    if solve_f32:
-        Sb = Sb.astype(jnp.float32)
     if mesh is not None:
         from ..parallel import mesh as pmesh
         Sb = pmesh.shard_nodes(Sb, mesh)
@@ -224,8 +237,12 @@ def _drive(A, B, X0, contour, c, r, nodes, iters, tol, store,
         if B is not None:
             B = pmesh.replicate(B, mesh)
     if store:
-        LUb, permb = jax.jit(lumod.lu_factor_batched)(Sb)
-        Sb_pass = CX(jnp.zeros((0,)), jnp.zeros((0,)))  # placeholder, unused
+        LUb, permb = jax.jit(lumod.lu_factor_batched)(
+            Sb.astype(jnp.float32) if solve_f32 else Sb)
+        if solve_f32:
+            Sb_pass = Sb  # f64 shifted matrices kept for iterative refinement
+        else:
+            Sb_pass = CX(jnp.zeros((0,)), jnp.zeros((0,)))  # unused
     else:
         LUb = CX(jnp.zeros((0,)), jnp.zeros((0,)))
         permb = jnp.zeros((0,), jnp.int32)

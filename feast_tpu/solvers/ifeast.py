@@ -1,0 +1,187 @@
+"""Inexact FEAST: iterative (matrix-free) shifted solves.
+
+Two drivers:
+
+* `ifeast` — parity with the reference's experimental `ifeast!`
+  (feast_experimental.jl:2-60): plain spectral-projector filter
+  Q = sum_i w_i (z_i I - A)^{-1} X via per-node BiCGStab, NO
+  orthonormalization (the Rayleigh-Ritz keeps Bq = Q^H Q), absolute
+  residuals.
+
+* `feast_iterative` — the production sparse path this framework adds
+  (SURVEY.md N2/N8): the full RII FEAST update (same convergence as
+  `feast`/`gen_feast`) with the direct LU replaced by batched matrix-free
+  BiCGStab/GMRES on (A - z_i B), Jacobi-preconditioned, warm-started from
+  the previous refinement iteration (like nlfeast_it!'s recycled Tinv,
+  nlfeast.jl:139).  Works with dense pairs or CSR operators — the
+  reference's `factorizer`/`left_divider` injection point (feast.jl:5)
+  became this solver strategy.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import contour as ct
+from .. import cx
+from ..cx import CX
+from ..ops import eig as eigmod
+from ..ops import krylov
+from ..ops import sparse as spmod
+from ..ops import qr as qrmod
+from .feast import FeastResult, _in_mask, _debug_print
+
+
+def _to_op(A, dtype):
+    """Dense arrays -> CX; scipy sparse -> CSR; CSR/CX pass through."""
+    if A is None or isinstance(A, (CX, spmod.CSR)):
+        return A
+    try:
+        import scipy.sparse as sp
+        if sp.issparse(A):
+            return spmod.CSR.from_scipy(A, dtype)
+    except ImportError:
+        pass
+    return cx.from_numpy(np.asarray(A, dtype=np.complex128), dtype)
+
+
+def _apply(M, X: CX) -> CX:
+    if M is None:
+        return X
+    if isinstance(M, spmod.CSR):
+        return M.matvec(X)
+    return cx.cmatmul(M, X)
+
+
+def ifeast(A, X0, nodes: int = 8, iters: int = 10, *,
+           c: complex = 0.0 + 0.0j, r: float = 1.0, tol: float = 1e-10,
+           solve_tol: float = 1e-8, solve_iters: int = 500,
+           debug: bool = False) -> FeastResult:
+    """Reference-parity inexact FEAST (ifeast!, feast_experimental.jl:2-60)."""
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    A = _to_op(A, dtype)
+    X = X0 if isinstance(X0, CX) else cx.from_numpy(np.asarray(X0), dtype)
+    n, m0 = X.shape
+    k = ct.circular_contour_trapezoidal(complex(c), float(r), nodes)
+    z = k.device_nodes(dtype)
+    # plain-filter weights e^{i theta}/N (feast_experimental.jl:30); the
+    # missing r only rescales Q, which the Bq=Q^H Q Rayleigh-Ritz absorbs.
+    w = CX(z.re - complex(c).real, z.im - complex(c).imag) / (float(r) * nodes)
+
+    @jax.jit
+    def step(X):
+        def one_node(zi, wi):
+            # solve (z I - A) X — note ifeast!'s sign convention
+            def zi_minus_A(V):
+                AV = _apply(A, V)
+                return CX(zi.re * V.re - zi.im * V.im - AV.re,
+                          zi.re * V.im + zi.im * V.re - AV.im)
+            sol = krylov.bicgstab(zi_minus_A, X, tol=solve_tol,
+                                  maxiter=solve_iters)
+            return cx.scale_cols(sol.x, CX(jnp.broadcast_to(wi.re, (m0,)),
+                                           jnp.broadcast_to(wi.im, (m0,))))
+
+        terms = jax.vmap(one_node)(z, w)
+        Q = CX(jnp.sum(terms.re, 0), jnp.sum(terms.im, 0))
+        AQ = _apply(A, Q)
+        Aq = cx.cmatmul(Q.H, AQ)
+        Bq = cx.cmatmul(Q.H, Q)
+        lam, Xq = eigmod.gen_eig(Aq, Bq)
+        Xn = cx.normalize_cols(cx.cmatmul(Q, Xq))
+        R = _apply(A, Xn) - cx.scale_cols(Xn, lam)
+        res = cx.col_norms(R)
+        inside = _in_mask(lam, k.kind, k.params)
+        return Xn, lam, res, inside
+
+    lam = res = inside = None
+    n_iter, converged = 0, False
+    for nit in range(1, iters + 1):
+        n_iter = nit
+        X, lam, res, inside = step(X)
+        res_h, inside_h = np.asarray(res), np.asarray(inside)
+        if debug:
+            _debug_print(nit, lam, res_h, inside_h)
+        if inside_h.any() and res_h[inside_h].max() < tol:
+            converged = True
+            break
+    return FeastResult(lam, X, res, inside, n_iter, converged)
+
+
+def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
+                    c: complex = 0.0 + 0.0j, r: float = 1.0, nodes: int = 8,
+                    iters: int = 20, tol: float = 1e-10,
+                    solver: str = "bicgstab", solve_tol: float = 1e-10,
+                    solve_iters: int = 1000, precondition: bool = True,
+                    ortho: str = "cholqr2",
+                    debug: bool = False) -> FeastResult:
+    """RII FEAST with matrix-free iterative node solves (sparse-ready)."""
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    A = _to_op(A, dtype)
+    B = _to_op(B, dtype)
+    X = X0 if isinstance(X0, CX) else cx.from_numpy(np.asarray(X0), dtype)
+    n, m0 = X.shape
+    if contour is None:
+        contour = ct.circular_contour_trapezoidal(complex(c), float(r), nodes)
+    z = contour.device_nodes(dtype)
+    w = contour.device_weights(dtype)
+    N = len(contour)
+
+    solve_fn = krylov.bicgstab if solver == "bicgstab" else functools.partial(
+        krylov.gmres, restart=min(40, max(10, n // 8)))
+
+    @jax.jit
+    def step(Q, warm):
+        Qo = qrmod.orthonormalize(Q, method=ortho)
+        AQ = _apply(A, Qo)
+        Aq = cx.cmatmul(Qo.H, AQ)
+        if B is None:
+            lam, Xq = eigmod.eig(Aq)
+        else:
+            BQ = _apply(B, Qo)
+            Bq = cx.cmatmul(Qo.H, BQ)
+            lam, Xq = eigmod.gen_eig(Aq, Bq)
+        Xn = cx.normalize_cols(cx.cmatmul(Qo, Xq))
+        BX = Xn if B is None else _apply(B, Xn)
+        R = _apply(A, Xn) - cx.scale_cols(BX, lam)
+        res = cx.col_norms(R)
+        inside = _in_mask(lam, contour.kind, contour.params)
+
+        def one_node(zi, wi, x0):
+            mv = spmod.shifted_matvec(A, B, CX(zi.re, zi.im))
+            M = spmod.jacobi_preconditioner(A, B, CX(zi.re, zi.im)) \
+                if precondition else None
+            sol = solve_fn(mv, R, x0=x0, tol=solve_tol, maxiter=solve_iters,
+                           M=M) if solver == "bicgstab" else solve_fn(
+                               mv, R, x0=x0, tol=solve_tol, M=M)
+            resolvent = cx.cdiv(CX(jnp.broadcast_to(wi.re, lam.shape),
+                                   jnp.broadcast_to(wi.im, lam.shape)),
+                                CX(zi.re - lam.re, zi.im - lam.im))
+            return cx.scale_cols(Xn - sol.x, resolvent), sol.x
+
+        terms, warm_new = jax.vmap(one_node)(z, w, warm)
+        Qn = CX(jnp.sum(terms.re, 0), jnp.sum(terms.im, 0))
+        return Qn, Xn, lam, res, inside, warm_new
+
+    warm = cx.zeros((N, n, m0), dtype)
+    lam = res = inside = None
+    Xout = X
+    n_iter, converged = 0, False
+    Q = X
+    for nit in range(iters + 1):
+        n_iter = nit
+        Qn, Xout, lam, res, inside, warm = step(Q, warm)
+        res_h, inside_h = np.asarray(res), np.asarray(inside)
+        if debug:
+            _debug_print(nit, lam, res_h, inside_h)
+        if inside_h.any() and res_h[inside_h].max() < tol:
+            converged = True
+            break
+        Q = Qn
+    if not np.asarray(inside).any():
+        print("no eigenvalues found in contour!")
+    return FeastResult(lam, Xout, res, inside, n_iter, converged)

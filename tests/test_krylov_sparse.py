@@ -1,0 +1,113 @@
+"""Batched Krylov solvers, CSR SpMM, and the inexact FEAST drivers."""
+
+import jax
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import feast_tpu as ft
+from feast_tpu import cx
+from feast_tpu.ops import krylov, sparse as spmod
+
+
+def _rand_c(rng, *shape):
+    return rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+
+
+def test_bicgstab_dense():
+    rng = np.random.default_rng(0)
+    n, m = 80, 6
+    A = np.diag(np.arange(1.0, n + 1.0)).astype(np.complex128) \
+        + 0.3 * _rand_c(rng, n, n)
+    B = _rand_c(rng, n, m)
+    Ac = cx.from_numpy(A)
+    out = jax.jit(lambda b: krylov.bicgstab(
+        lambda X: cx.cmatmul(Ac, X), b, tol=1e-10, maxiter=2000))(
+            cx.from_numpy(B))
+    X = cx.to_numpy(out.x)
+    assert np.linalg.norm(A @ X - B) / np.linalg.norm(B) < 1e-9
+    assert np.asarray(out.converged).all()
+
+
+def test_gmres_dense():
+    rng = np.random.default_rng(1)
+    n, m = 60, 4
+    A = np.diag(np.arange(1.0, n + 1.0)).astype(np.complex128) \
+        + 0.3 * _rand_c(rng, n, n)
+    B = _rand_c(rng, n, m)
+    Ac = cx.from_numpy(A)
+    out = jax.jit(lambda b: krylov.gmres(
+        lambda X: cx.cmatmul(Ac, X), b, tol=1e-10, restart=40))(
+            cx.from_numpy(B))
+    X = cx.to_numpy(out.x)
+    assert np.linalg.norm(A @ X - B) / np.linalg.norm(B) < 1e-9
+
+
+def test_csr_matvec_matches_dense():
+    rng = np.random.default_rng(2)
+    n = 50
+    Ad = sp.random(n, n, density=0.1, random_state=3,
+                   dtype=np.float64).toarray() \
+        + 1j * sp.random(n, n, density=0.1, random_state=4,
+                         dtype=np.float64).toarray()
+    A = spmod.CSR.from_scipy(sp.csr_matrix(Ad))
+    X = _rand_c(rng, n, 7)
+    got = cx.to_numpy(A.matvec(cx.from_numpy(X)))
+    np.testing.assert_allclose(got, Ad @ X, atol=1e-13)
+    d = cx.to_numpy(A.diagonal())
+    np.testing.assert_allclose(d, np.diag(Ad), atol=1e-15)
+
+
+def test_jacobi_preconditioned_shifted_solve():
+    rng = np.random.default_rng(5)
+    n = 200
+    L = sp.diags([np.full(n, 2.0), -np.ones(n - 1), -np.ones(n - 1)],
+                 [0, 1, -1], format="csr").astype(np.complex128)
+    A = spmod.CSR.from_scipy(L)
+    z = cx.as_cx(3.0 + 0.5j)
+    mv = spmod.shifted_matvec(A, None, z)
+    M = spmod.jacobi_preconditioner(A, None, z)
+    B = cx.from_numpy(_rand_c(rng, n, 3))
+    out = krylov.bicgstab(mv, B, tol=1e-10, maxiter=2000, M=M)
+    X = cx.to_numpy(out.x)
+    Ld = L.toarray()
+    S = Ld - (3.0 + 0.5j) * np.eye(n)
+    assert np.linalg.norm(S @ X - cx.to_numpy(B)) < 1e-8
+
+
+def test_ifeast_reference_parity():
+    rng = np.random.default_rng(0)
+    A = np.diag(np.arange(1.0, 26.0)).astype(np.complex128)
+    X0 = _rand_c(rng, 25, 5)
+    out = ft.ifeast(A, X0, nodes=8, iters=10, c=1.5 + 0j, r=2.0, tol=1e-10)
+    lam, _, r = out.filtered()
+    np.testing.assert_allclose(np.sort(lam.real), [1, 2, 3], atol=1e-8)
+
+
+def test_feast_iterative_sparse_laplacian_slice():
+    rng = np.random.default_rng(0)
+    n = 400
+    L = sp.diags([np.full(n, 2.0), -np.ones(n - 1), -np.ones(n - 1)],
+                 [0, 1, -1], format="csr").astype(np.complex128)
+    X0 = _rand_c(rng, n, 32)
+    out = ft.feast_iterative(L, None, X0, c=0.02 + 0j, r=0.02, nodes=8,
+                             iters=25, tol=1e-9)
+    lam, _, r = out.filtered()
+    exact = 2.0 - 2.0 * np.cos(np.pi * np.arange(1, n + 1) / (n + 1))
+    want = np.sort(exact[(exact > 0.0) & (exact < 0.04)])
+    assert len(lam) == len(want)
+    assert r.max() < 1e-9
+    np.testing.assert_allclose(np.sort(lam.real), want, atol=1e-10)
+
+
+def test_mixed_prec_iterative_refinement_full_accuracy():
+    # f32 LU + f64 IR must reach the same residual floor as full f64
+    rng = np.random.default_rng(0)
+    A = np.diag(np.arange(1.0, 26.0)).astype(np.complex128)
+    X0 = _rand_c(rng, 25, 5)
+    out = ft.feast(A, X0, c=1.5 + 0j, r=2.0, nodes=8, mixed_prec=True,
+                   tol=1e-12, iters=15)
+    lam, _, r = out.filtered()
+    assert out.converged
+    np.testing.assert_allclose(np.sort(lam.real), [1, 2, 3], atol=1e-10)
+    assert r.max() < 1e-12
