@@ -1,0 +1,176 @@
+"""Problem gallery: the NEP families the reference exercises.
+
+Re-implementations from the published NLEVP problem definitions (the
+reference pulls them from NonlinearEigenproblems.jl's gallery at
+test/string.jl:26, test/hadeler.jl:28, or generates them:
+test/gen_butterfly.jl), plus loaders for the bundled MatrixMarket fixtures.
+
+All generators return SPMF/PolynomialNEP objects ready for the solvers, and
+the raw coefficient matrices for cross-validation against `companion`.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from . import cx
+from .nep import PolynomialNEP, SPMF
+
+
+def butterfly(m: int = 8) -> Tuple[PolynomialNEP, list]:
+    """The NLEVP 'butterfly' quartic PEP on an m x m grid (N = m^2).
+
+    Quartic T(z) = M0 + z M1 + z^2 M2 + z^3 M3 + z^4 M4 built from Kronecker
+    products of shift/tridiagonal blocks with the standard coefficient table
+    (its spectrum traces a butterfly curve in the complex plane).
+    """
+    Nshift = np.diag(np.ones(m - 1), -1)
+    I_m = np.eye(m)
+    Mh0 = (4 * I_m + Nshift + Nshift.T) / 6.0
+    Mh1 = Nshift - Nshift.T
+    Mh2 = -(2 * I_m - Nshift - Nshift.T)
+    Mh3 = Mh1
+    Mh4 = -Mh2
+    c = np.array([[0.6, 1.3], [1.3, 0.1], [0.1, 1.2], [1.0, 1.0], [1.2, 1.0]])
+    blocks = [Mh0, Mh1, Mh2, Mh3, Mh4]
+    coeffs = [
+        (c[k, 0] * np.kron(I_m, blocks[k]) + c[k, 1] * np.kron(blocks[k], I_m)
+         ).astype(np.complex128)
+        for k in range(5)
+    ]
+    return PolynomialNEP(coeffs), coeffs
+
+
+def loaded_string(n: int = 100, kappa: float = 1.0,
+                  mass: float = 1.0) -> SPMF:
+    """NLEVP 'loaded_string': vibrating string with elastically attached
+    mass; T(lam) = A - lam B + kappa * lam/(lam - sigma) * e_n e_n^T with
+    sigma = kappa/mass (rational NEP; reference runs it with K=3 moments at
+    c=800 r=790, test/string.jl:26-35)."""
+    import jax.numpy as jnp
+
+    A = n * (np.diag(np.full(n, 2.0)) - np.diag(np.ones(n - 1), 1)
+             - np.diag(np.ones(n - 1), -1))
+    A[-1, -1] = n * 1.0
+    B = (np.diag(np.full(n, 4.0)) + np.diag(np.ones(n - 1), 1)
+         + np.diag(np.ones(n - 1), -1)) / (6.0 * n)
+    B[-1, -1] = 2.0 / (6.0 * n)
+    C = np.zeros((n, n))
+    C[-1, -1] = 1.0
+    sigma = kappa / mass
+
+    one = lambda z: cx.CX(jnp.ones_like(z.re), jnp.zeros_like(z.im))
+    neg_z = lambda z: cx.CX(-z.re, -z.im)
+
+    def rational(z):
+        # kappa * z / (z - sigma)
+        num = cx.CX(kappa * z.re, kappa * z.im)
+        den = cx.CX(z.re - sigma, z.im)
+        return cx.cdiv(num, den)
+
+    return SPMF([(A.astype(np.complex128), one),
+                 (B.astype(np.complex128), neg_z),
+                 (C.astype(np.complex128), rational)])
+
+
+def hadeler(n: int = 200, b0: float = 100.0) -> SPMF:
+    """NLEVP 'hadeler': T(z) = (e^z - 1) B1 + z^2 B2 - b0 I
+    (reference test/hadeler.jl:27-51, run at c=-30 r=10)."""
+    import jax.numpy as jnp
+
+    i = np.arange(1, n + 1)
+    B1 = (n + 1 - np.maximum.outer(i, i)) * np.outer(i, i)
+    B2 = n * np.eye(n) + 1.0 / np.add.outer(i, i)
+    B0 = b0 * np.eye(n)
+
+    def expm1_f(z):
+        # e^z - 1 on CX pairs
+        ez = jnp.exp(z.re)
+        return cx.CX(ez * jnp.cos(z.im) - 1.0, ez * jnp.sin(z.im))
+
+    z2 = lambda z: z * z
+    neg_one = lambda z: cx.CX(-jnp.ones_like(z.re), jnp.zeros_like(z.im))
+
+    return SPMF([(B1.astype(np.complex128), expm1_f),
+                 (B2.astype(np.complex128), z2),
+                 (B0.astype(np.complex128), neg_one)])
+
+
+def delay_nep(A0: np.ndarray, A1: np.ndarray, tau: float = 1.0) -> SPMF:
+    """Delay eigenvalue problem T(z) = -z I + A0 + A1 e^{-tau z}
+    (dep_distributed family, reference test/nep.jl)."""
+    import jax.numpy as jnp
+
+    n = A0.shape[0]
+    one = lambda z: cx.CX(jnp.ones_like(z.re), jnp.zeros_like(z.im))
+    neg_z = lambda z: cx.CX(-z.re, -z.im)
+
+    def exp_f(z):
+        e = jnp.exp(-tau * z.re)
+        return cx.CX(e * jnp.cos(tau * z.im), -e * jnp.sin(tau * z.im))
+
+    return SPMF([(np.eye(n, dtype=np.complex128), neg_z),
+                 (np.asarray(A0, dtype=np.complex128), one),
+                 (np.asarray(A1, dtype=np.complex128), exp_f)])
+
+
+def laplacian_1d(n: int, sparse: bool = False):
+    """1-D Laplacian (the reference's contour test matrix,
+    test/runtests.jl:33, test/contour_test.jl:7)."""
+    if sparse:
+        import scipy.sparse as sp
+
+        return sp.diags([np.full(n, 2.0), -np.ones(n - 1), -np.ones(n - 1)],
+                        [0, 1, -1], format="csr").astype(np.complex128)
+    return (np.diag(np.full(n, 2.0)) - np.diag(np.ones(n - 1), 1)
+            - np.diag(np.ones(n - 1), -1)).astype(np.complex128)
+
+
+# ---------------------------------------------------------------------------
+# bundled fixture loaders (reference checkout)
+# ---------------------------------------------------------------------------
+
+def _data_dir(data_dir: Optional[str]) -> str:
+    d = data_dir or os.environ.get("FEAST_REF_DATA", "/root/reference/data")
+    if not os.path.isdir(d):
+        raise FileNotFoundError(f"fixture dir {d} not found")
+    return d
+
+
+def load_system5(data_dir: Optional[str] = None) -> Tuple[PolynomialNEP, list]:
+    """1000x1000 real quadratic (test/polynomial.jl:5-20; slice c=-1.55
+    r=0.05, m0=80, K=2)."""
+    from .io import read_matrix_market
+
+    d = _data_dir(data_dir)
+    coeffs = [read_matrix_market(os.path.join(d, f"system5A{k}.mtx"),
+                                 out="dense") for k in range(3)]
+    return PolynomialNEP(coeffs), coeffs
+
+
+def load_quadratic(data_dir: Optional[str] = None) -> Tuple[PolynomialNEP, list]:
+    """15x15 rank-deficient quadratic (z+0.2)(z-0.1) A1 + A0
+    (test/deficient.jl:201-219)."""
+    from .io import read_matrix_market
+
+    d = _data_dir(data_dir)
+    A0 = read_matrix_market(os.path.join(d, "quadraticM0.mtx"), out="dense")
+    A1 = read_matrix_market(os.path.join(d, "quadraticM1.mtx"), out="dense")
+    coeffs = [A0 - 0.02 * A1, 0.1 * A1, A1]
+    return PolynomialNEP(coeffs), coeffs
+
+
+def load_butterfly(data_dir: Optional[str] = None) -> Tuple[PolynomialNEP, list]:
+    """64x64 quartic from the bundled fixtures (falls back to butterfly())."""
+    try:
+        from .io import read_matrix_market
+
+        d = _data_dir(data_dir)
+        coeffs = [read_matrix_market(os.path.join(d, f"butterflyM{k}.mtx"),
+                                     out="dense") for k in range(5)]
+        return PolynomialNEP(coeffs), coeffs
+    except FileNotFoundError:
+        return butterfly()

@@ -4,3 +4,4 @@ from .beyn import beyn, block_ss, BeynResult
 from .companion import companion, CompanionResult
 from .stochastic import contour_estimate_eig
 from .ifeast import ifeast, feast_iterative
+from .nlfeast_experimental import nlfeast_moments_all, nlfeast_moments_ss, nlfeast_rr

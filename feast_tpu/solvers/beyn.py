@@ -29,7 +29,7 @@ from ..ops import eig as eigmod
 from ..ops import lu as lumod
 from ..ops import qr as qrmod
 from ..ops import svd as svdmod
-from .nlfeast import beyn_svd_extract, _residuals
+from .nlfeast import beyn_svd_extract, _residuals, _scaled, _unscale
 
 
 class BeynResult(NamedTuple):
@@ -65,19 +65,24 @@ def beyn(T, X0, nodes: int = 16, *, c: complex = 0.0 + 0.0j, r: float = 1.0,
     Tz = T.eval_nodes(z)
     LUb, permb = jax.jit(lumod.lu_factor_batched)(Tz)
 
-    def one_node(LU, perm, zi, wi):
+    zeta, scale = _scaled(contour, z)
+
+    def one_node(LU, perm, zetai, wi):
         temp = lumod.lu_solve(LU, perm, X)
         q0 = cx.scale_cols(temp, CX(jnp.broadcast_to(wi.re, (m0,)),
                                     jnp.broadcast_to(wi.im, (m0,))))
-        zw = CX(zi.re * wi.re - zi.im * wi.im, zi.re * wi.im + zi.im * wi.re)
+        # centered-scaled first moment (see nlfeast._scaled)
+        zw = CX(zetai.re * wi.re - zetai.im * wi.im,
+                zetai.re * wi.im + zetai.im * wi.re)
         q1 = cx.scale_cols(temp, CX(jnp.broadcast_to(zw.re, (m0,)),
                                     jnp.broadcast_to(zw.im, (m0,))))
         return q0, q1
 
-    q0s, q1s = jax.jit(jax.vmap(one_node))(LUb, permb, z, w)
+    q0s, q1s = jax.jit(jax.vmap(one_node))(LUb, permb, zeta, w)
     Q0 = CX(jnp.sum(q0s.re, 0), jnp.sum(q0s.im, 0))
     Q1 = CX(jnp.sum(q1s.re, 0), jnp.sum(q1s.im, 0))
-    lam, X = beyn_svd_extract(Q0, Q1)
+    mu, X = beyn_svd_extract(Q0, Q1)
+    lam = _unscale(mu, scale)
     X = cx.normalize_cols(X)
     if isinstance(T, nepmod.CallableNEP):
         lamh, Xh = cx.to_numpy(lam), cx.to_numpy(X)
@@ -123,19 +128,21 @@ def block_ss(T, X0, nodes: int = 16, moments: int = 2, *,
     Tz = T.eval_nodes(z)
     LUb, permb = jax.jit(lumod.lu_factor_batched)(Tz)
 
-    def one_node(LU, perm, zi, wi):
+    zeta, scale = _scaled(contour, z)
+
+    def one_node(LU, perm, zetai, wi):
         temp = lumod.lu_solve(LU, perm, X)
         temp = cx.scale_cols(temp, CX(jnp.broadcast_to(wi.re, (m0,)),
                                       jnp.broadcast_to(wi.im, (m0,))))
         blocks = [temp]
         zp = CX(jnp.ones((), dtype), jnp.zeros((), dtype))
         for _ in range(2 * K):
-            zp = zp * CX(zi.re, zi.im)
+            zp = zp * CX(zetai.re, zetai.im)
             blocks.append(cx.scale_cols(temp, CX(jnp.broadcast_to(zp.re, (m0,)),
                                                  jnp.broadcast_to(zp.im, (m0,)))))
         return cx.stack(blocks, axis=0)  # (2K+1, n, m0)
 
-    stacks = jax.jit(jax.vmap(one_node))(LUb, permb, z, w)
+    stacks = jax.jit(jax.vmap(one_node))(LUb, permb, zeta, w)
     S = CX(jnp.sum(stacks.re, 0), jnp.sum(stacks.im, 0))  # (2K+1, n, m0)
 
     # Hankel pencils of Y^H-projected moments: (K m0, K m0)
@@ -155,13 +162,14 @@ def block_ss(T, X0, nodes: int = 16, moments: int = 2, *,
     # static-shape deflation of below-cut directions: unit diagonal in H0,
     # far-away eigenvalue in H1 (filtered later by contour membership)
     km = H0.shape[0]
-    far = (abs(complex(c)) + 1e6 * max(float(r), 1.0))
+    far = 1e6  # in scaled coordinates (|mu| <= 1 inside the contour)
     dmask = keep.astype(dtype)
     omask = dmask[:, None] * dmask[None, :]
     eye = jnp.eye(km, dtype=dtype)
     H0 = CX(H0.re * omask + (1.0 - dmask) * eye, H0.im * omask)
     H1 = CX(H1.re * omask + (1.0 - dmask) * eye * far, H1.im * omask)
-    lam, Xq = eigmod.gen_eig(H1, H0)
+    mu, Xq = eigmod.gen_eig(H1, H0)
+    lam = _unscale(mu, scale)
     # X = S[:, first K blocks] V Xq  (beyn.jl:80)
     Sflat = cx.concatenate([CX(S.re[j], S.im[j]) for j in range(K)], axis=1)
     Xout = cx.cmatmul(Sflat, cx.cmatmul(V, Xq))

@@ -88,13 +88,38 @@ def _residuals(T, X: CX, lam: CX):
 
 
 # ---------------------------------------------------------------------------
+# moment scaling
+# ---------------------------------------------------------------------------
+#
+# All moment solvers accumulate powers of the CENTERED-SCALED node
+# zeta = (z - c)/r instead of the raw z the reference uses
+# (nlfeast.jl:208-211).  Mathematically equivalent — the Hankel pencil then
+# yields mu = (lam - c)/r and we map back lam = c + r mu — but numerically
+# essential: for contours like loaded_string's (c=800, r=790) raw z^5 is
+# ~1e16 and the block-Hankel conditioning collapses.  With zeta all moments
+# are O(1) regardless of where the contour sits in the plane.
+
+def _scaled(contour: ct.Contour, z: CX):
+    c = complex(contour.center)
+    r = float(contour.radius) or 1.0
+    zeta = CX((z.re - c.real) / r, (z.im - c.imag) / r)
+    return zeta, (c.real, c.imag, r)
+
+
+def _unscale(mu: CX, scale) -> CX:
+    c_re, c_im, r = scale
+    return CX(c_re + r * mu.re, c_im + r * mu.im)
+
+
+# ---------------------------------------------------------------------------
 # nlfeast (single-moment Beyn extraction)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("T", "kind", "params", "first"))
-def _nlfeast_step(T, LUb, permb, z: CX, w: CX, X: CX, R: CX, lam: CX,
-                  kind: str, params, first: bool):
-    def one_node(LU, perm, zi, wi):
+@functools.partial(jax.jit, static_argnames=("T", "kind", "params", "first",
+                                             "scale"))
+def _nlfeast_step(T, LUb, permb, z: CX, zeta: CX, w: CX, X: CX, R: CX,
+                  lam: CX, kind: str, params, scale, first: bool):
+    def one_node(LU, perm, zi, zetai, wi):
         if first:
             Tinv = lumod.lu_solve(LU, perm, X)
             term = cx.scale_cols(Tinv, CX(jnp.broadcast_to(wi.re, (X.shape[1],)),
@@ -106,14 +131,15 @@ def _nlfeast_step(T, LUb, permb, z: CX, w: CX, X: CX, R: CX, lam: CX,
                            CX(zi.re - lam.re, zi.im - lam.im))
             term = cx.scale_cols(X - Tinv, resv)
         q0 = term
-        q1 = cx.scale_cols(term, CX(jnp.broadcast_to(zi.re, (X.shape[1],)),
-                                    jnp.broadcast_to(zi.im, (X.shape[1],))))
+        q1 = cx.scale_cols(term, CX(jnp.broadcast_to(zetai.re, (X.shape[1],)),
+                                    jnp.broadcast_to(zetai.im, (X.shape[1],))))
         return q0, q1
 
-    q0s, q1s = jax.vmap(one_node)(LUb, permb, z, w)
+    q0s, q1s = jax.vmap(one_node)(LUb, permb, z, zeta, w)
     Q0 = CX(jnp.sum(q0s.re, 0), jnp.sum(q0s.im, 0))
     Q1 = CX(jnp.sum(q1s.re, 0), jnp.sum(q1s.im, 0))
-    lam_new, Xn = beyn_svd_extract(Q0, Q1)
+    mu, Xn = beyn_svd_extract(Q0, Q1)
+    lam_new = _unscale(mu, scale)
     Xn, Rn, res = _residuals(T, Xn, lam_new)
     inside = _in_mask(lam_new, kind, params)
     return Xn, Rn, lam_new, res, inside
@@ -164,9 +190,10 @@ def nlfeast(T, X0, nodes: int = 16, iters: int = 10, *,
             X, R, lam, res, inside = _nlfeast_step_host(
                 T, LUb, permb, z, w, X, R, lam, contour, nit == 0)
         else:
+            zeta, scale = _scaled(contour, z)
             X, R, lam, res, inside = _nlfeast_step(
-                T, LUb, permb, z, w, X, R, lam,
-                contour.kind, contour.params, nit == 0)
+                T, LUb, permb, z, zeta, w, X, R, lam,
+                contour.kind, contour.params, scale, nit == 0)
         res_h, inside_h = np.asarray(res), np.asarray(inside)
         if debug:
             _dbg(nit, res_h, inside_h, spurious)
@@ -233,12 +260,13 @@ def _hankel(Qm: CX, K: int, n: int, m0: int):
     return cx.concatenate(rows0, axis=0), cx.concatenate(rows1, axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("T", "K", "kind", "params", "first"))
-def _moments_step(T, LUb, permb, z: CX, w: CX, X: CX, R: CX, lam_m0: CX,
-                  K: int, kind: str, params, first: bool):
+@functools.partial(jax.jit, static_argnames=("T", "K", "kind", "params",
+                                             "first", "scale"))
+def _moments_step(T, LUb, permb, z: CX, zeta: CX, w: CX, X: CX, R: CX,
+                  lam_m0: CX, K: int, kind: str, params, scale, first: bool):
     n, m0 = X.shape
 
-    def one_node(LU, perm, zi, wi):
+    def one_node(LU, perm, zi, zetai, wi):
         if first:
             Tinv = lumod.lu_solve(LU, perm, X)
             term = cx.scale_cols(Tinv, CX(jnp.broadcast_to(wi.re, (m0,)),
@@ -249,19 +277,20 @@ def _moments_step(T, LUb, permb, z: CX, w: CX, X: CX, R: CX, lam_m0: CX,
                               jnp.broadcast_to(wi.im, (m0,))),
                            CX(zi.re - lam_m0.re, zi.im - lam_m0.im))
             term = cx.scale_cols(X - Tinv, resv)
-        # moment stack: term * z^(j-1), j = 1..2K
+        # moment stack: term * zeta^(j-1), j = 1..2K (centered-scaled)
         powers = [term]
         zp = CX(jnp.ones((), X.dtype), jnp.zeros((), X.dtype))
         for j in range(1, 2 * K):
-            zp = zp * CX(zi.re, zi.im)
+            zp = zp * CX(zetai.re, zetai.im)
             powers.append(cx.scale_cols(term, CX(jnp.broadcast_to(zp.re, (m0,)),
                                                  jnp.broadcast_to(zp.im, (m0,)))))
         return cx.stack(powers, axis=0)  # (2K, n, m0)
 
-    stacks = jax.vmap(one_node)(LUb, permb, z, w)  # (nodes, 2K, n, m0)
+    stacks = jax.vmap(one_node)(LUb, permb, z, zeta, w)  # (nodes, 2K, n, m0)
     Qm = CX(jnp.sum(stacks.re, 0), jnp.sum(stacks.im, 0))
     Q0, Q1 = _hankel(Qm, K, n, m0)
-    lam, Y = beyn_svd_extract(Q0, Q1, top_rows=n)  # (K m0,), (n, K m0)
+    mu, Y = beyn_svd_extract(Q0, Q1, top_rows=n)  # (K m0,), (n, K m0)
+    lam = _unscale(mu, scale)
     Y, Ry, res = _residuals(T, Y, lam)
     # residual-sorted permutation (update_R_moments!, utils.jl:125-133)
     p = jnp.argsort(res)
@@ -307,9 +336,10 @@ def nlfeast_moments(T, X0, nodes: int = 16, iters: int = 10, *,
     n_iter, converged = 0, False
     for nit in range(iters + 1):
         n_iter = nit
+        zeta, scale = _scaled(contour, z)
         X, R, lam_m0, Y, lam_all, res, inside = _moments_step(
-            T, LUb, permb, z, w, X, R, lam_m0, K,
-            contour.kind, contour.params, nit == 0)
+            T, LUb, permb, z, zeta, w, X, R, lam_m0, K,
+            contour.kind, contour.params, scale, nit == 0)
         res_h = np.asarray(res)[:m0]
         inside_h = np.asarray(inside)[:m0]
         if debug:

@@ -1,0 +1,119 @@
+"""Gallery problems at the reference's BASELINE configs: butterfly quartic,
+loaded_string (K=3 moments), hadeler exponential NEP, plus the io layer."""
+
+import os
+
+import numpy as np
+import pytest
+
+import feast_tpu as ft
+from feast_tpu import cx, problems
+
+REF_DATA = "/root/reference/data"
+
+
+def _x0(rng, n, m):
+    return rng.standard_normal((n, m)) + 1j * rng.standard_normal((n, m))
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_DATA),
+                    reason="reference data not mounted")
+def test_butterfly_generator_matches_bundled_fixture():
+    _, coeffs = problems.butterfly()
+    _, coeffs_f = problems.load_butterfly()
+    for a, b in zip(coeffs, coeffs_f):
+        np.testing.assert_allclose(a, b, atol=1e-13)
+
+
+def test_butterfly_nlfeast_vs_companion():
+    # BASELINE row: butterfly quartic, c=1+1i r=0.5, spurious 5e-3
+    T, coeffs = problems.butterfly()
+    exact = ft.companion(coeffs)
+    lam_e = cx.to_numpy(exact.lam)
+    res_e = np.asarray(exact.res)
+    c, r = 1.0 + 1.0j, 0.5
+    want = np.sort_complex(lam_e[(np.abs(lam_e - c) <= r) & (res_e < 1e-8)])
+    X0 = _x0(np.random.default_rng(0), 64, len(want) + 6)
+    out = ft.nlfeast(T, X0, nodes=32, iters=30, c=c, r=r, tol=1e-12,
+                     spurious=5e-3)
+    lam, _, res = out.filtered(spurious=5e-3)
+    got = np.sort_complex(lam)
+    assert len(got) == len(want)
+    np.testing.assert_allclose(got, want, atol=1e-8)
+    assert res.max() < 1e-12
+
+
+def test_loaded_string_moments_k3():
+    # BASELINE row: loaded_string, m0=14, 16 nodes, K=3, c=800 r=790.
+    # Exact values from the rational NEP's quadratic linearization.
+    import scipy.linalg as sla
+
+    n, kappa, mass = 100, 1.0, 1.0
+    sigma = kappa / mass
+    T = problems.loaded_string(n, kappa, mass)
+    # SPMF terms: (A, 1), (B, -z), (C, kappa z/(z-sigma)) — the minus lives
+    # in the function, so mats[1] is +B
+    A = cx.to_numpy(T.mats[0])
+    B = cx.to_numpy(T.mats[1])
+    C = cx.to_numpy(T.mats[2])
+    lin = sla.eigvals(
+        np.block([[np.zeros((n, n)), np.eye(n)],
+                  [sla.solve(B, -sigma * A),
+                   sla.solve(B, A + sigma * B + kappa * C)]]))
+    realw = np.sort(lin[np.abs(lin.imag) < 1e-6].real)
+    want = realw[(realw > 10.0) & (realw < 1590.0)]
+
+    X0 = _x0(np.random.default_rng(0), n, 14)
+    out = ft.nlfeast_moments(T, X0, nodes=16, iters=10, moments=3,
+                             c=800.0 + 0j, r=790.0, tol=1e-14, spurious=1e-5)
+    lam, _, res = out.filtered(spurious=1e-5)
+    assert len(lam) == len(want)
+    np.testing.assert_allclose(np.sort(lam.real), want, rtol=1e-10)
+    assert res.max() < 1e-13
+
+
+def test_hadeler_nlfeast():
+    # BASELINE row: hadeler, c=-30 r=10 (test/hadeler.jl:55-60)
+    T = problems.hadeler(200, 100.0)
+    X0 = _x0(np.random.default_rng(0), 200, 15)
+    out = ft.nlfeast(T, X0, nodes=8, iters=30, c=-30.0 + 0j, r=10.0,
+                     tol=1e-14, spurious=1e-2)
+    lam, X, res = out.filtered(spurious=1e-2)
+    assert len(lam) == 12
+    assert res.max() < 1e-14
+    assert (lam.real > -40).all() and (lam.real < -20).all()
+    # hadeler eigenvalues in this window are real
+    assert np.abs(lam.imag).max() < 1e-8
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_DATA),
+                    reason="reference data not mounted")
+def test_native_mmio_matches_scipy():
+    from scipy.io import mmread
+    import scipy.sparse as sp
+
+    from feast_tpu import io as fio
+
+    for name in ["quadraticM0.mtx", "system5A0.mtx", "butterflyM2.mtx"]:
+        p = os.path.join(REF_DATA, name)
+        a = fio.read_matrix_market(p, out="dense")
+        m = mmread(p)
+        b = np.asarray(m.toarray() if sp.issparse(m) else m,
+                       dtype=np.complex128)
+        assert np.array_equal(a, b)
+
+
+def test_slice_checkpoint_roundtrip(tmp_path):
+    from feast_tpu import io as fio
+
+    rng = np.random.default_rng(0)
+    A = np.diag(np.arange(1.0, 26.0)).astype(np.complex128)
+    X0 = _x0(rng, 25, 5)
+    out = ft.feast(A, X0, c=1.5 + 0j, r=2.0, nodes=8)
+    p = str(tmp_path / "slice.npz")
+    fio.save_slice(p, out, meta={"c": 1.5 + 0j, "r": 2.0})
+    d = fio.load_slice(p)
+    np.testing.assert_allclose(d["lam"], cx.to_numpy(out.lam))
+    # warm restart from the checkpoint converges immediately
+    out2 = ft.feast(A, d["X"], c=1.5 + 0j, r=2.0, nodes=8)
+    assert out2.converged and out2.n_iter <= 1
