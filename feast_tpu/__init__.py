@@ -7,7 +7,7 @@ companion linearization, and stochastic contour eigenvalue counting —
 batched over contour nodes, sharded over device meshes.
 """
 
-from . import config, contour, cx, nep, ops, solvers
+from . import config, contour, cx, io, nep, ops, parallel, problems, solvers, utils
 from .contour import (circular_contour_gauss, circular_contour_trapezoidal,
                       custom_contour, in_contour, rational_func,
                       rectangular_contour_gauss,
@@ -15,5 +15,5 @@ from .contour import (circular_contour_gauss, circular_contour_trapezoidal,
 from .nep import CallableNEP, LinearPencilNEP, PolynomialNEP, SPMF
 from .solvers import (beyn, block_ss, companion, contour_estimate_eig,
                       dual_gen_feast, feast, feast_iterative, gen_feast,
-                      ifeast, nlfeast, nlfeast_moments,
+                      ifeast, nlfeast, nlfeast_it, nlfeast_moments,
                       nlfeast_moments_all, nlfeast_moments_ss, nlfeast_rr)

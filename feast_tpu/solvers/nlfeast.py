@@ -349,3 +349,111 @@ def nlfeast_moments(T, X0, nodes: int = 16, iters: int = 10, *,
             break
     Y = cx.normalize_cols(Y)
     return NlfeastResult(lam_all, Y, res, inside, n_iter, converged)
+
+
+# ---------------------------------------------------------------------------
+# alternative extraction steps (utils.jl:79-101 parity)
+# ---------------------------------------------------------------------------
+
+def beyn_qr_extract(Q0: CX, Q1: CX):
+    """QR-based Beyn step (beyn_qr_step!, utils.jl:79-85):
+    eig of Q^H Q1 R^{-1} with Q0 = Q R."""
+    Q, Rf = qrmod.cholqr2(Q0)
+    M = qrmod.right_solve_upper(cx.cmatmul(Q.H, Q1), Rf)
+    lam, W = eigmod.eig(M)
+    return lam, cx.cmatmul(Q, W)
+
+
+def beyn_rr_extract(Q0: CX, Q1: CX, X: CX):
+    """Projected-pencil Beyn step (beyn_rr_step!, utils.jl:87-93):
+    generalized eig of (X^H Q1, X^H Q0), vectors through Q0."""
+    Aq = cx.cmatmul(X.H, Q1)
+    Bq = cx.cmatmul(X.H, Q0)
+    lam, W = eigmod.gen_eig(Aq, Bq)
+    return lam, cx.cmatmul(Q0, W)
+
+
+def beyn_rr2_extract(Q0: CX, Q1: CX):
+    """Self-projected pencil (beyn_rr_step2!, utils.jl:95-101):
+    generalized eig of (Q0^H Q1, Q0^H Q0)."""
+    Aq = cx.cmatmul(Q0.H, Q1)
+    Bq = cx.cmatmul(Q0.H, Q0)
+    lam, W = eigmod.gen_eig(Aq, Bq)
+    return lam, cx.cmatmul(Q0, W)
+
+
+# ---------------------------------------------------------------------------
+# nlfeast_it: iterative (matrix-free) node solves
+# ---------------------------------------------------------------------------
+
+def nlfeast_it(T, X0, nodes: int = 16, iters: int = 10, *,
+               c: complex = 0.0 + 0.0j, r: float = 1.0,
+               contour: Optional[ct.Contour] = None, tol: float = 1e-11,
+               spurious: float = 1e-5, solve_tol: float = 1e-8,
+               solve_iters: int = 500, debug: bool = False) -> NlfeastResult:
+    """NLFEAST with BiCGStab node solves, warm-started per node across
+    refinement iterations (nlfeast_it!, nlfeast.jl:87-171).  The reference
+    solves column-by-column (nlfeast.jl:139); here every node keeps a
+    (n, m0) warm block and all columns advance together."""
+    from ..ops import krylov
+
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    X = X0 if isinstance(X0, CX) else cx.from_numpy(np.asarray(X0), dtype)
+    n, m0 = X.shape
+    T = nepmod.as_nep(T, n=n, dtype=dtype)
+    if isinstance(T, nepmod.CallableNEP):
+        raise TypeError("nlfeast_it needs an SPMF/polynomial NEP")
+    if contour is None:
+        contour = ct.circular_contour_trapezoidal(complex(c), float(r), nodes)
+    z = contour.device_nodes(dtype)
+    w = contour.device_weights(dtype)
+    N = len(contour)
+    Tz = T.eval_nodes(z)  # (N, n, n) — used as matvec operands
+    X, _ = qrmod.cholqr2(X)
+
+    @functools.partial(jax.jit, static_argnames=("first",))
+    def step(X, R, lam, warm, first):
+        zeta, scale = _scaled(contour, z)
+
+        def one_node(Tzi, zi, zetai, wi, x0):
+            mv = lambda V: cx.cmatmul(Tzi, V)
+            rhs = X if first else R
+            sol = krylov.bicgstab(mv, rhs, x0=x0, tol=solve_tol,
+                                  maxiter=solve_iters)
+            if first:
+                term = cx.scale_cols(sol.x, CX(jnp.broadcast_to(wi.re, (m0,)),
+                                               jnp.broadcast_to(wi.im, (m0,))))
+            else:
+                resv = cx.cdiv(CX(jnp.broadcast_to(wi.re, (m0,)),
+                                  jnp.broadcast_to(wi.im, (m0,))),
+                               CX(zi.re - lam.re, zi.im - lam.im))
+                term = cx.scale_cols(X - sol.x, resv)
+            q1 = cx.scale_cols(term, CX(jnp.broadcast_to(zetai.re, (m0,)),
+                                        jnp.broadcast_to(zetai.im, (m0,))))
+            return term, q1, sol.x
+
+        q0s, q1s, warm_new = jax.vmap(one_node)(Tz, z, zeta, w, warm)
+        Q0 = CX(jnp.sum(q0s.re, 0), jnp.sum(q0s.im, 0))
+        Q1 = CX(jnp.sum(q1s.re, 0), jnp.sum(q1s.im, 0))
+        mu, Xn = beyn_svd_extract(Q0, Q1)
+        lam_new = _unscale(mu, _scaled(contour, z)[1])
+        Xn, Rn, res = _residuals(T, Xn, lam_new)
+        inside = _in_mask(lam_new, contour.kind, contour.params)
+        return Xn, Rn, lam_new, res, inside, warm_new
+
+    warm = cx.zeros((N, n, m0), dtype)
+    lam = cx.zeros((m0,), dtype)
+    R = cx.zeros((n, m0), dtype)
+    res = inside = None
+    n_iter, converged = 0, False
+    for nit in range(iters + 1):
+        n_iter = nit
+        X, R, lam, res, inside, warm = step(X, R, lam, warm, nit == 0)
+        res_h, inside_h = np.asarray(res), np.asarray(inside)
+        if debug:
+            _dbg(nit, res_h, inside_h, spurious)
+        if _stop(nit, res_h, inside_h, tol, spurious):
+            converged = True
+            break
+    return NlfeastResult(lam, cx.normalize_cols(X), res, inside, n_iter,
+                         converged)

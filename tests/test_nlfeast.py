@@ -231,3 +231,54 @@ def test_contour_estimate_eig_generalized_and_mixed():
     est32 = ft.contour_estimate_eig(A, k, B, samples=50, seed=3,
                                     mixed_prec=True)
     assert abs(est32 - est) < 0.5
+
+
+def test_nlfeast_it_butterfly():
+    from feast_tpu import problems
+
+    T, _ = problems.butterfly()
+    rng = np.random.default_rng(0)
+    X0 = _rand_c(rng, 64, 18)
+    out = ft.nlfeast_it(T, X0, nodes=16, iters=15, c=1.0 + 1.0j, r=0.5,
+                        tol=1e-10, spurious=5e-3, solve_tol=1e-10)
+    lam, _, res = out.filtered(spurious=5e-3)
+    assert len(lam) == 13
+    assert res.max() < 1e-10
+
+
+def test_beyn_extraction_variants():
+    # qr / rr / rr2 extraction agree with the svd step on a clean problem
+    import jax.numpy as jnp
+    from feast_tpu.solvers.nlfeast import (beyn_qr_extract, beyn_rr_extract,
+                                           beyn_rr2_extract)
+    from feast_tpu.ops import lu as lumod
+    from feast_tpu import contour as ct
+
+    A = np.diag(np.arange(1.0, 26.0)).astype(np.complex128)
+    rng = np.random.default_rng(0)
+    X = cx.from_numpy(_rand_c(rng, 25, 5))
+    k = ct.circular_contour_trapezoidal(1.5 + 0j, 2.0, 16)
+    z = k.device_nodes(jnp.float64)
+    w = k.device_weights(jnp.float64)
+    eye = np.eye(25)
+    Sb = cx.from_numpy(np.stack([A - zi * eye for zi in np.asarray(k.nodes)]))
+    LUb, permb = lumod.lu_factor_batched(Sb)
+    import jax
+    terms = jax.vmap(lambda LU, p, wi: cx.scale_cols(
+        lumod.lu_solve(LU, p, X),
+        cx.CX(jnp.broadcast_to(wi.re, (5,)), jnp.broadcast_to(wi.im, (5,)))))(
+            LUb, permb, w)
+    Q0 = cx.CX(terms.re.sum(0), terms.im.sum(0))
+    q1 = jax.vmap(lambda t_re, t_im, zi: cx.scale_cols(
+        cx.CX(t_re, t_im), cx.CX(jnp.broadcast_to(zi.re, (5,)),
+                                 jnp.broadcast_to(zi.im, (5,)))))(
+            terms.re, terms.im, z)
+    Q1 = cx.CX(q1.re.sum(0), q1.im.sum(0))
+    for extract in (beyn_qr_extract, beyn_rr2_extract,
+                    lambda a, b: beyn_rr_extract(a, b, X)):
+        lam, _ = extract(Q0, Q1)
+        lam_n = cx.to_numpy(lam)
+        inside = np.abs(lam_n - 1.5) <= 2.0
+        # single filter application, 16 trapezoid nodes: ~1e-5 accuracy
+        np.testing.assert_allclose(np.sort(lam_n[inside].real), [1, 2, 3],
+                                   atol=1e-4)

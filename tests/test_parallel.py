@@ -55,3 +55,18 @@ def test_shard_nodes_places_on_devices():
     x = cx.from_numpy(np.arange(16, dtype=np.complex128).reshape(16, 1))
     xs = shard_nodes(x, mesh)
     assert len(xs.re.sharding.device_set) == 8
+
+
+def test_feast_sliced_laplacian():
+    from feast_tpu import problems
+    from feast_tpu.parallel import feast_sliced
+
+    n = 200
+    L = problems.laplacian_1d(n)
+    exact = 2.0 - 2.0 * np.cos(np.pi * np.arange(1, n + 1) / (n + 1))
+    out = feast_sliced(L, (0.0, 0.2), 3, nodes=8, iters=25, tol=1e-12)
+    want = np.sort(exact[(exact > 0.0) & (exact < 0.2)])
+    got = np.sort(out.lam.real)
+    assert len(got) == len(want)
+    np.testing.assert_allclose(got, want, atol=1e-10)
+    assert out.res.max() < 1e-11
