@@ -66,9 +66,10 @@ def tpu_feast(A, X0, c, r, nodes=8, tol=1e-10, iters=20):
     def run():
         t0 = time.perf_counter()
         # production path: f32 LU + f64 iterative refinement (full accuracy
-        # at 4x the f64-emulation matmul throughput)
+        # at 4x the f64-emulation matmul throughput); host LAPACK for the
+        # tiny m0 x m0 reduced eig (cuts remote-dispatch latency)
         out = ft.feast(A, X0, c=c, r=r, nodes=nodes, iters=iters, tol=tol,
-                       mixed_prec=True)
+                       mixed_prec=True, rr="host")
         jax.block_until_ready((out.lam.re, out.res))
         return time.perf_counter() - t0, out
 

@@ -163,6 +163,48 @@ def _feast_step(Q: CX, A: CX, B, LUb, permb, Sb, z: CX, w: CX,
     return Qn, lam, X, res, inside
 
 
+@functools.partial(jax.jit, static_argnames=("ortho",))
+def _step_pre(Q: CX, A: CX, B, ortho: str):
+    """Orthonormalize + build the reduced pencil (host-RR split, part 1)."""
+    Qo = qrmod.orthonormalize(Q, method=ortho)
+    Aq = cx.cmatmul(Qo.H, cx.cmatmul(A, Qo))
+    Bq = None if B is None else cx.cmatmul(Qo.H, cx.cmatmul(B, Qo))
+    return Qo, Aq, Bq
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "params", "solve_f32"))
+def _step_post(Qo: CX, A: CX, B, lam: CX, Xq: CX, LUb, permb, Sb,
+               z: CX, w: CX, kind: str, params, solve_f32: bool):
+    """Recover Ritz pairs + residuals + node update (host-RR split, part 2)."""
+    X = cx.normalize_cols(cx.cmatmul(Qo, Xq))
+    AX = cx.cmatmul(A, X)
+    BX = X if B is None else cx.cmatmul(B, X)
+    R = AX - cx.scale_cols(BX, lam)
+    res = cx.col_norms(R)
+    inside = _in_mask(lam, kind, params)
+    solve_dtype = jnp.float32 if solve_f32 else None
+    Sb_ref = Sb if (solve_f32 and Sb.re.ndim == 3) else None
+    Qn = _node_update(LUb, permb, z, w, X, R, lam, solve_dtype, Sb_ref)
+    return Qn, lam, X, res, inside
+
+
+def _host_eig(Aq: CX, Bq):
+    """m0 x m0 reduced eig on host LAPACK — optional latency optimization
+    for remote-TPU setups (the heavy O(n^2 m0) / O(n^3) work stays on
+    device; this only round-trips an m0 x m0 matrix)."""
+    import numpy as _np
+
+    a = cx.to_numpy(Aq)
+    if Bq is None:
+        lam, V = _np.linalg.eig(a)
+    else:
+        import scipy.linalg as _sla
+
+        lam, V = _sla.eig(a, cx.to_numpy(Bq))
+    dtype = Aq.re.dtype
+    return cx.from_numpy(lam, dtype), cx.from_numpy(V, dtype)
+
+
 def _in_mask(lam: CX, kind: str, params):
     """jit-safe in_contour on CX eigenvalues with static contour metadata."""
     if kind == "circle":
@@ -191,7 +233,7 @@ def feast(A, X0, contour: Optional[ct.Contour] = None, *,
           c: complex = 0.0 + 0.0j, r: float = 1.0, nodes: int = 8,
           iters: int = 10, tol: float = 1e-12, store: bool = True,
           mixed_prec: bool = False, ortho: str = "cholqr2",
-          block: int = 64, debug: bool = False, mesh=None,
+          block: int = 64, debug: bool = False, mesh=None, rr: str = "device",
           callback: Optional[Callable] = None) -> FeastResult:
     """Standard linear FEAST: eigenpairs of A inside the contour.
 
@@ -202,9 +244,13 @@ def feast(A, X0, contour: Optional[ct.Contour] = None, *,
     mesh: a `jax.sharding.Mesh` with a `node` axis — the batched node
     factorizations/solves shard across devices and XLA turns the moment
     accumulation into a psum (replaces the reference's threaded loop + lock).
+
+    rr: "device" (default, fully on-device Schur eig) or "host" (m0 x m0
+    reduced eig on host LAPACK — cuts dispatch latency on remote-TPU links;
+    all O(n^2)+ work stays on device).
     """
     return _drive(A, None, X0, contour, c, r, nodes, iters, tol, store,
-                  mixed_prec, ortho, block, debug, callback, mesh)
+                  mixed_prec, ortho, block, debug, callback, mesh, rr)
 
 
 def gen_feast(A, B, X0, contour: Optional[ct.Contour] = None, *,
@@ -212,17 +258,19 @@ def gen_feast(A, B, X0, contour: Optional[ct.Contour] = None, *,
               iters: int = 10, tol: float = 1e-12, store: bool = True,
               mixed_prec: bool = False, ortho: str = "cholqr2",
               block: int = 64, debug: bool = False, mesh=None,
+              rr: str = "device",
               callback: Optional[Callable] = None) -> FeastResult:
     """Generalized linear FEAST: A x = lam B x inside the contour
     (gen_feast!, feast.jl:82-156)."""
     if B is None:
         raise ValueError("gen_feast requires B; use feast() for B=I")
     return _drive(A, B, X0, contour, c, r, nodes, iters, tol, store,
-                  mixed_prec, ortho, block, debug, callback, mesh)
+                  mixed_prec, ortho, block, debug, callback, mesh, rr)
 
 
 def _drive(A, B, X0, contour, c, r, nodes, iters, tol, store,
-           mixed_prec, ortho, block, debug, callback, mesh=None) -> FeastResult:
+           mixed_prec, ortho, block, debug, callback, mesh=None,
+           rr: str = "device") -> FeastResult:
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     A, B, Q, contour, z, w = _prepare(A, B, X0, contour, c, r, nodes, dtype)
     solve_f32 = bool(mixed_prec)
@@ -253,9 +301,19 @@ def _drive(A, B, X0, contour, c, r, nodes, iters, tol, store,
     converged = False
     for nit in range(iters + 1):
         n_iter = nit
-        Qn, lam, X, res, inside = _feast_step(
-            Q, A, B, LUb, permb, Sb_pass, z, w,
-            contour.kind, contour.params, ortho, store, solve_f32)
+        if rr == "host":
+            Qo, Aq, Bq = _step_pre(Q, A, B, ortho)
+            lam_h, Xq_h = _host_eig(Aq, Bq)
+            if not store:
+                LUb, permb = jax.jit(lumod.lu_factor_batched)(
+                    Sb_pass.astype(jnp.float32) if solve_f32 else Sb_pass)
+            Qn, lam, X, res, inside = _step_post(
+                Qo, A, B, lam_h, Xq_h, LUb, permb, Sb_pass, z, w,
+                contour.kind, contour.params, solve_f32)
+        else:
+            Qn, lam, X, res, inside = _feast_step(
+                Q, A, B, LUb, permb, Sb_pass, z, w,
+                contour.kind, contour.params, ortho, store, solve_f32)
         res_h = np.asarray(res)
         inside_h = np.asarray(inside)
         if debug:

@@ -61,17 +61,32 @@ class NlfeastResult(NamedTuple):
                 np.asarray(self.res)[mask])
 
 
-def beyn_svd_extract(Q0: CX, Q1: CX, top_rows: Optional[int] = None):
+def beyn_svd_extract(Q0: CX, Q1: CX, top_rows: Optional[int] = None,
+                     rank_tol: float = 1e-13):
     """Beyn SVD extraction (utils.jl:69-77): returns (lam, X).
 
     X = U @ eigvecs(U^H Q1 V diag(1/s)); if top_rows is given, only the
     first `top_rows` rows of U form X (block-Hankel case, nlfeast.jl:223).
+
+    Unlike the reference (raw `Diagonal(1 ./ S.S)`, utils.jl:73), directions
+    with s < rank_tol * s_max are DEFLATED with static shapes: their rows and
+    columns of the projected matrix are zeroed and the diagonal set to a
+    far-away value.  Without this, a rank-deficient Q0 (search space wider
+    than the filtered spectrum — routine for block-Hankel) injects
+    1/eps-scale noise directions whose norm destroys the absolute accuracy
+    of the small Schur eigenproblem, wiping out the true eigenvalues.
     """
     U, s, Vh = svdmod.svd(Q0)
     eps = jnp.finfo(s.dtype).eps
-    s_safe = jnp.maximum(s, eps * jnp.maximum(s[0], 1.0))
+    keep = s > jnp.maximum(s[0], eps) * rank_tol
+    s_safe = jnp.where(keep, s, 1.0)
     M = cx.cmatmul(U.H, cx.cmatmul(Q1, Vh.H))
     M = CX(M.re / s_safe[None, :], M.im / s_safe[None, :])
+    kmask = keep.astype(s.dtype)
+    omask = kmask[:, None] * kmask[None, :]
+    far = 1e3  # far outside any sane (scaled) contour
+    eye = jnp.eye(M.shape[0], dtype=s.dtype)
+    M = CX(M.re * omask + (1.0 - kmask) * eye * far, M.im * omask)
     lam, W = eigmod.eig(M)
     Utop = U if top_rows is None else CX(U.re[:top_rows], U.im[:top_rows])
     X = cx.cmatmul(Utop, W)

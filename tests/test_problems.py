@@ -117,3 +117,18 @@ def test_slice_checkpoint_roundtrip(tmp_path):
     # warm restart from the checkpoint converges immediately
     out2 = ft.feast(A, d["X"], c=1.5 + 0j, r=2.0, nodes=8)
     assert out2.converged and out2.n_iter <= 1
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_DATA),
+                    reason="reference data not mounted")
+def test_system5_moments_k2():
+    # BASELINE row: system5 quadratic N=1000, m0=80, 32 nodes, K=2,
+    # c=-1.55 r=0.05 (test/polynomial.jl:20) — 50 eigenvalues inside.
+    T, _ = problems.load_system5()
+    X0 = _x0(np.random.default_rng(0), 1000, 80)
+    out = ft.nlfeast_moments(T, X0, nodes=32, iters=10, moments=2,
+                             c=-1.55 + 0j, r=0.05, tol=1e-14, spurious=1e-6)
+    lam, _, res = out.filtered(spurious=1e-6)
+    assert len(lam) == 50
+    assert res.max() < 1e-14
+    assert out.n_iter <= 2
