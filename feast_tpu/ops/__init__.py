@@ -1,1 +1,1 @@
-from . import eig, krylov, lu, qr, sparse, svd
+from . import eig, krylov, lu, qr, qz, sparse, svd
