@@ -254,8 +254,12 @@ def qz(A: CX, B: CX, max_sweeps_per_eig: int = 30):
     def deflate(H):
         sub = CX(jnp.diagonal(H.re, -1), jnp.diagonal(H.im, -1))
         diag_abs = cx.cabs(CX(jnp.diagonal(H.re), jnp.diagonal(H.im)))
-        tol = eps * (diag_abs[:-1] + diag_abs[1:])
-        tol = jnp.where(tol > 0, tol, eps * jnp.where(fnorm > 0, fnorm, 1.0))
+        # LAPACK zhgeqz-style: floor the tolerance at ulp*||H|| — unlike the
+        # standard-eig case, H's diagonal (the alpha values) can be much
+        # smaller than ||H||, and the subdiagonal noise floor is eps*||H||;
+        # a diag-only tolerance then never accepts convergence (stagnation).
+        tol = eps * jnp.maximum(diag_abs[:-1] + diag_abs[1:],
+                                jnp.where(fnorm > 0, fnorm, 1.0))
         conv = cx.cabs(sub) <= tol
         conv_full = jnp.zeros((n, n), dtype=bool).at[
             jnp.arange(1, n), jnp.arange(n - 1)].set(conv)
