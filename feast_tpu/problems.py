@@ -174,3 +174,36 @@ def load_butterfly(data_dir: Optional[str] = None) -> Tuple[PolynomialNEP, list]
         return PolynomialNEP(coeffs), coeffs
     except FileNotFoundError:
         return butterfly()
+
+
+def gun_like(n: int = 256, seed: int = 0) -> SPMF:
+    """A gun-NLEP-shaped problem: T(z) = K - z M + i sqrt(z - s1^2) W1
+    + i sqrt(z - s2^2) W2 (the RF-gun cavity NLEP's structure,
+    reference test/gun.jl — its 9956x9956 data lives in the NLEVP gallery
+    and is not redistributable, so this generator reproduces the sqrt-branch
+    STRUCTURE at configurable size for capability tests)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    # SPD-ish stiffness / mass, low-rank boundary coupling
+    Kd = rng.standard_normal((n, n))
+    K = (Kd + Kd.T) / 2 + n * np.eye(n)
+    Md = rng.standard_normal((n, n))
+    M = ((Md + Md.T) / 2 + n * np.eye(n)) / n
+    W1 = rng.standard_normal((n, 4)) @ rng.standard_normal((4, n)) / n
+    W2 = rng.standard_normal((n, 4)) @ rng.standard_normal((4, n)) / n
+    s1, s2 = 0.0, 108.8774  # gun's branch points (0 and 108.8774^2)
+
+    one = lambda z: cx.CX(jnp.ones_like(z.re), jnp.zeros_like(z.im))
+    neg_z = lambda z: cx.CX(-z.re, -z.im)
+
+    def isqrt_shift(s):
+        def f(z):
+            w = cx.csqrt(cx.CX(z.re - s * s, z.im))
+            return cx.CX(-w.im, w.re)  # i * sqrt(z - s^2)
+        return f
+
+    return SPMF([(K.astype(np.complex128), one),
+                 (M.astype(np.complex128), neg_z),
+                 (W1.astype(np.complex128), isqrt_shift(s1)),
+                 (W2.astype(np.complex128), isqrt_shift(s2))])

@@ -89,12 +89,21 @@ def _shifted_batch(A: CX, B: Optional[CX], z: CX) -> CX:
     return CX(sre, sim)
 
 
-def _rayleigh_ritz(Q: CX, A: CX, B: Optional[CX]):
-    """Orthonormalized Rayleigh-Ritz: returns (lam, X, R, res)."""
+def _rayleigh_ritz(Q: CX, A: CX, B: Optional[CX], pencil: str = "lu"):
+    """Orthonormalized Rayleigh-Ritz: returns (lam, X, R, res).
+
+    pencil: "lu" reduces the generalized RR via B_q^{-1} A_q (fast; B_q is
+    well-conditioned for orthonormal Q); "qz" runs the full QZ kernel
+    (robust to singular/indefinite B projections)."""
     AQ = cx.cmatmul(A, Q)
     Aq = cx.cmatmul(Q.H, AQ)
     if B is None:
         lam, Xq = eigmod.eig(Aq)
+    elif pencil == "qz":
+        from ..ops import qz as qzmod
+
+        alpha, beta, Xq = qzmod.gen_eig_qz(Aq, cx.cmatmul(Q.H, cx.cmatmul(B, Q)))
+        lam = cx.cdiv(alpha, beta)
     else:
         BQ = cx.cmatmul(B, Q)
         Bq = cx.cmatmul(Q.H, BQ)

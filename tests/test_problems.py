@@ -132,3 +132,45 @@ def test_system5_moments_k2():
     assert len(lam) == 50
     assert res.max() < 1e-14
     assert out.n_iter <= 2
+
+
+def test_gun_like_sqrt_branch_cross_method():
+    """sqrt-branch NEP (the gun problem's structure): nlfeast and
+    nlfeast_moments agree to 1e-7 on the contour spectrum."""
+    import scipy.linalg as sla
+
+    T = problems.gun_like(128)
+    K = cx.to_numpy(T.mats[0])
+    M = cx.to_numpy(T.mats[1])
+    w = np.sort(sla.eigvals(K, M).real)
+    mid = len(w) // 2
+    c = complex((w[mid] + w[mid + 3]) / 2, 0)
+    r = (w[mid + 3] - w[mid]) / 2 + 0.3 * (w[mid + 4] - w[mid + 3])
+    rng = np.random.default_rng(1)
+    out = ft.nlfeast(T, _x0(rng, 128, 12), nodes=64, iters=30, c=c, r=r,
+                     tol=1e-11, spurious=1e-4)
+    lam1, _, r1 = out.filtered(spurious=1e-4)
+    out2 = ft.nlfeast_moments(T, _x0(rng, 128, 8), nodes=64, iters=15,
+                              moments=2, c=c, r=r, tol=1e-12, spurious=1e-4)
+    lam2, _, r2 = out2.filtered(spurious=1e-4)
+    assert len(lam1) > 0
+    assert r1.max() < 1e-11 and r2.max() < 1e-12
+    np.testing.assert_allclose(np.sort_complex(lam1), np.sort_complex(lam2),
+                               atol=1e-7)
+
+
+def test_gen_feast_qz_pencil_option():
+    # full-QZ Rayleigh-Ritz path matches the LU-reduction path
+    rng = np.random.default_rng(0)
+    A = np.diag(np.arange(1.0, 26.0)).astype(np.complex128)
+    B = np.eye(25, dtype=np.complex128)
+    X0 = _x0(rng, 25, 5)
+    from feast_tpu.solvers.feast import _rayleigh_ritz
+    from feast_tpu.ops import qr as qrmod
+
+    Q, _ = qrmod.cholqr2(cx.from_numpy(X0))
+    Ac, Bc = cx.from_numpy(A), cx.from_numpy(B)
+    lam_lu, _, _, _ = _rayleigh_ritz(Q, Ac, Bc, pencil="lu")
+    lam_qz, _, _, _ = _rayleigh_ritz(Q, Ac, Bc, pencil="qz")
+    np.testing.assert_allclose(np.sort(cx.to_numpy(lam_lu).real),
+                               np.sort(cx.to_numpy(lam_qz).real), atol=1e-10)
