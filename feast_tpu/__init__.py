@@ -9,6 +9,7 @@ batched over contour nodes, sharded over device meshes.
 
 from . import config, contour, cx, io, nep, ops, parallel, problems, solvers, utils
 from .contour import (circular_contour_gauss, circular_contour_trapezoidal,
+                      elliptical_contour_trapezoidal,
                       custom_contour, in_contour, rational_func,
                       rectangular_contour_gauss,
                       rectangular_contour_trapezoidal)

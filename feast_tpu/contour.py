@@ -58,7 +58,7 @@ class Contour:
 
     @property
     def center(self) -> complex:
-        if self.kind == "circle":
+        if self.kind in ("circle", "ellipse"):
             return complex(self.params[0], self.params[1])
         if self.kind == "rect":
             bl = complex(self.params[0], self.params[1])
@@ -70,6 +70,8 @@ class Contour:
     def radius(self) -> float:
         if self.kind == "circle":
             return float(self.params[2])
+        if self.kind == "ellipse":
+            return float(max(self.params[2], self.params[3]))
         return float(np.max(np.abs(np.asarray(self.nodes) - self.center)))
 
     def device_nodes(self, dtype=jnp.float64) -> cx.CX:
@@ -213,6 +215,9 @@ def in_contour(lam, contour: Contour):
     if contour.kind == "rect":
         bl_re, bl_im, tr_re, tr_im = contour.params
         return (bl_re < lr) & (lr < tr_re) & (bl_im < li) & (li < tr_im)
+    if contour.kind == "ellipse":
+        c_re, c_im, rx, ry = contour.params
+        return ((lr - c_re) / rx) ** 2 + ((li - c_im) / ry) ** 2 <= 1.0
     # custom: rational filter magnitude test
     rho = rational_func_pairs(lr, li, contour)
     return cx.abs2(rho) > 0.25
@@ -254,3 +259,21 @@ def rational_func_pairs(zr, zi, contour: Contour) -> cx.CX:
                    cx.CX(dr, di))
     return cx.CX(jnp.sum(quot.re, axis=0).reshape(shape),
                  jnp.sum(quot.im, axis=0).reshape(shape))
+
+
+def elliptical_contour_trapezoidal(c: complex, rx: float, ry: float,
+                                   n: int = 16) -> Contour:
+    """N-point trapezoid rule on the ellipse c + rx cos(t) + i ry sin(t).
+
+    Extension beyond the reference (circle/rect only): flattened ellipses
+    hug a real spectral slice more tightly than a circle, improving the
+    rational filter's decay for the same node count.  Weights absorb
+    dz/(2 pi i) like all other constructors: w_k = z'(t_k)/(2 pi i) * dt.
+    """
+    c = complex(c)
+    t = np.pi / n + 2 * np.pi * np.arange(n) / n
+    nodes = c + rx * np.cos(t) + 1j * ry * np.sin(t)
+    dz = -rx * np.sin(t) + 1j * ry * np.cos(t)  # z'(t)
+    weights = dz * (2 * np.pi / n) / (2j * np.pi)
+    return Contour(nodes, weights, "ellipse",
+                   (c.real, c.imag, float(rx), float(ry)))

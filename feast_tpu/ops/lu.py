@@ -190,14 +190,26 @@ def _upper_solve_small(U: CX, B: CX) -> CX:
 # public API
 # ---------------------------------------------------------------------------
 
-def lu_factor(A: CX, block: int = 64):
+def _auto_block(n: int) -> int:
+    """Panel width: larger panels trace fewer unrolled blocks (5x faster
+    XLA compiles at n=2048) at equal steady-state throughput."""
+    if n <= 256:
+        return 64
+    if n <= 1024:
+        return 128
+    return 256
+
+
+def lu_factor(A: CX, block: int = 0):
     """Blocked LU with partial pivoting: P A = L U.
 
     Returns (LU, perm) with L (unit diag) and U packed in LU, and perm the
     row permutation as an index vector (solve uses B[perm]).
     Batched use: `jax.vmap(lu_factor)` over a leading node axis.
+    block=0 picks the size from n.
     """
     n = A.shape[0]
+    block = block or _auto_block(n)
     assert A.shape[0] == A.shape[1], "lu_factor expects square matrices"
     perm = jnp.arange(n)
 
@@ -229,9 +241,10 @@ def lu_factor(A: CX, block: int = 64):
     return A, perm
 
 
-def lu_solve(LU: CX, perm, B: CX, block: int = 64) -> CX:
+def lu_solve(LU: CX, perm, B: CX, block: int = 0) -> CX:
     """Solve A X = B given (LU, perm) from `lu_factor`.  B is (n, k)."""
     n = LU.shape[0]
+    block = block or _auto_block(n)
     X = CX(B.re[perm], B.im[perm])
     # forward: L X = B  (unit lower)
     for j in range(0, n, block):
@@ -257,7 +270,7 @@ def lu_solve(LU: CX, perm, B: CX, block: int = 64) -> CX:
     return X
 
 
-def solve(A: CX, B: CX, block: int = 64) -> CX:
+def solve(A: CX, B: CX, block: int = 0) -> CX:
     """One-shot dense solve A X = B (factor + solve)."""
     LU, perm = lu_factor(A, block=block)
     return lu_solve(LU, perm, B, block=block)

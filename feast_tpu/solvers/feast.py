@@ -223,7 +223,11 @@ def _in_mask(lam: CX, kind: str, params):
         bl_re, bl_im, tr_re, tr_im = params
         return ((bl_re < lam.re) & (lam.re < tr_re)
                 & (bl_im < lam.im) & (lam.im < tr_im))
-    raise ValueError("feast drivers need a circle or rect contour "
+    if kind == "ellipse":
+        c_re, c_im, rx, ry = params
+        return (((lam.re - c_re) / rx) ** 2
+                + ((lam.im - c_im) / ry) ** 2) <= 1.0
+    raise ValueError("feast drivers need a circle/rect/ellipse contour "
                      "(custom contours: supply in_mask yourself)")
 
 
