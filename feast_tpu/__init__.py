@@ -15,6 +15,6 @@ from .contour import (circular_contour_gauss, circular_contour_trapezoidal,
                       rectangular_contour_trapezoidal)
 from .nep import CallableNEP, LinearPencilNEP, PolynomialNEP, SPMF
 from .solvers import (beyn, block_ss, companion, contour_estimate_eig,
-                      dual_gen_feast, feast, feast_iterative, gen_feast,
+                      dual_gen_feast, feast, feast_compiled, feast_iterative, gen_feast,
                       ifeast, nlfeast, nlfeast_it, nlfeast_moments,
                       nlfeast_moments_all, nlfeast_moments_ss, nlfeast_rr)

@@ -1,4 +1,5 @@
-from .feast import feast, gen_feast, dual_gen_feast, FeastResult, DualFeastResult
+from .feast import (feast, feast_compiled, gen_feast, dual_gen_feast,
+                    FeastResult, DualFeastResult)
 from .nlfeast import (nlfeast, nlfeast_it, nlfeast_moments, NlfeastResult,
                       beyn_svd_extract, beyn_qr_extract, beyn_rr_extract,
                       beyn_rr2_extract)

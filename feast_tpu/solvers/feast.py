@@ -454,3 +454,71 @@ def dual_gen_feast(A, B, Xr0, Xl0, contour: Optional[ct.Contour] = None, *,
     if not np.asarray(inside).any():
         print("no eigenvalues found in contour!")
     return DualFeastResult(lam, Xr, Xl, res, inside, n_iter, converged)
+
+
+# ---------------------------------------------------------------------------
+# fully-compiled driver (single jit, zero host round-trips)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("kind", "params", "ortho",
+                                             "iters", "tol"))
+def _feast_compiled(Q: CX, A: CX, B, LUb, permb, z: CX, w: CX,
+                    kind: str, params, ortho: str, iters: int, tol: float):
+    """The whole refinement loop as ONE compiled while_loop — no host
+    synchronization until the final result.  This is the real-hardware
+    production path (the python-loop driver syncs m0-sized data per
+    iteration, which costs ~latency x iterations on remote links and
+    serializes multi-slice pipelines)."""
+
+    def step(Q):
+        Qo = qrmod.orthonormalize(Q, method=ortho)
+        lam, X, R, res = _rayleigh_ritz(Qo, A, B)
+        inside = _in_mask(lam, kind, params)
+        Qn = _node_update(LUb, permb, z, w, X, R, lam)
+        return Qn, lam, X, res, inside
+
+    def cond(state):
+        Q, lam, X, res, inside, it, done = state
+        return (~done) & (it <= iters)
+
+    def body(state):
+        Q, lam, X, res, inside, it, done = state
+        Qn, lam, X, res, inside = step(Q)
+        worst = jnp.max(jnp.where(inside, res, 0.0))
+        done = inside.any() & (worst < tol)
+        return Qn, lam, X, res, inside, it + 1, done
+
+    n, m0 = Q.shape
+    state0 = (Q, cx.zeros((m0,), Q.dtype), cx.zeros((n, m0), Q.dtype),
+              jnp.zeros((m0,), Q.dtype), jnp.zeros((m0,), bool),
+              jnp.array(0, jnp.int32), jnp.array(False))
+    Q, lam, X, res, inside, it, done = lax.while_loop(cond, body, state0)
+    return lam, X, res, inside, it, done
+
+
+def feast_compiled(A, X0, contour: Optional[ct.Contour] = None, *,
+                   c: complex = 0.0 + 0.0j, r: float = 1.0, nodes: int = 8,
+                   iters: int = 10, tol: float = 1e-12,
+                   ortho: str = "cholqr2", B=None, mesh=None) -> FeastResult:
+    """feast/gen_feast with the entire refinement loop in one jit.
+
+    Semantics match `feast`/`gen_feast` with store=True; convergence is
+    decided on device (masked), so nothing touches the host until the
+    result is read."""
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    A, B, Q, contour, z, w = _prepare(A, B, X0, contour, c, r, nodes, dtype)
+    Sb = _shifted_batch(A, B, z)
+    if mesh is not None:
+        from ..parallel import mesh as pmesh
+        Sb = pmesh.shard_nodes(Sb, mesh)
+        z = pmesh.shard_nodes(z, mesh)
+        w = pmesh.shard_nodes(w, mesh)
+        A = pmesh.replicate(A, mesh)
+        Q = pmesh.replicate(Q, mesh)
+        if B is not None:
+            B = pmesh.replicate(B, mesh)
+    LUb, permb = jax.jit(lumod.lu_factor_batched)(Sb)
+    lam, X, res, inside, it, done = _feast_compiled(
+        Q, A, B, LUb, permb, z, w, contour.kind, contour.params, ortho,
+        int(iters), float(tol))
+    return FeastResult(lam, X, res, inside, int(it), bool(done))

@@ -126,3 +126,29 @@ def test_non_hermitian_random():
     ref_in = np.sort_complex(wref[np.abs(wref - c) <= r])
     got = np.sort_complex(lam)
     np.testing.assert_allclose(got, ref_in, atol=1e-8)
+
+
+def test_feast_compiled_matches_python_driver(diag25):
+    # single-jit while_loop driver == python-loop driver
+    A, X0 = diag25
+    from feast_tpu.solvers.feast import feast_compiled
+
+    out = feast_compiled(A, X0, c=1.5 + 0j, r=2.0, nodes=8, tol=1e-12)
+    lam, _, r = out.filtered()
+    assert out.converged
+    np.testing.assert_allclose(np.sort(lam.real), [1.0, 2.0, 3.0], atol=1e-10)
+    assert r.max() < 1e-12
+    ref = feast(A, X0, c=1.5 + 0j, r=2.0, nodes=8, tol=1e-12)
+    np.testing.assert_allclose(np.sort(lam.real),
+                               np.sort(ref.filtered()[0].real), atol=1e-12)
+
+
+def test_feast_compiled_mesh(diag25):
+    A, X0 = diag25
+    from feast_tpu.parallel import node_mesh
+    from feast_tpu.solvers.feast import feast_compiled
+
+    out = feast_compiled(A, X0, c=1.5 + 0j, r=2.0, nodes=8, tol=1e-12,
+                         mesh=node_mesh(8))
+    lam, _, r = out.filtered()
+    np.testing.assert_allclose(np.sort(lam.real), [1.0, 2.0, 3.0], atol=1e-10)
