@@ -14,6 +14,7 @@ from .contour import (circular_contour_gauss, circular_contour_trapezoidal,
                       rectangular_contour_gauss,
                       rectangular_contour_trapezoidal)
 from .nep import CallableNEP, LinearPencilNEP, PolynomialNEP, SPMF
+from .utils import convergence_info, print_convergence_info
 from .solvers import (beyn, block_ss, companion, contour_estimate_eig,
                       dual_gen_feast, feast, feast_compiled, feast_iterative, gen_feast,
                       ifeast, nlfeast, nlfeast_it, nlfeast_moments,

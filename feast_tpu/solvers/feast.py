@@ -461,20 +461,23 @@ def dual_gen_feast(A, B, Xr0, Xl0, contour: Optional[ct.Contour] = None, *,
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("kind", "params", "ortho",
-                                             "iters", "tol"))
-def _feast_compiled(Q: CX, A: CX, B, LUb, permb, z: CX, w: CX,
-                    kind: str, params, ortho: str, iters: int, tol: float):
+                                             "iters", "tol", "solve_f32"))
+def _feast_compiled(Q: CX, A: CX, B, LUb, permb, Sb, z: CX, w: CX,
+                    kind: str, params, ortho: str, iters: int, tol: float,
+                    solve_f32: bool = False):
     """The whole refinement loop as ONE compiled while_loop — no host
     synchronization until the final result.  This is the real-hardware
     production path (the python-loop driver syncs m0-sized data per
     iteration, which costs ~latency x iterations on remote links and
     serializes multi-slice pipelines)."""
+    solve_dtype = jnp.float32 if solve_f32 else None
+    Sb_ref = Sb if (solve_f32 and Sb.re.ndim == 3) else None
 
     def step(Q):
         Qo = qrmod.orthonormalize(Q, method=ortho)
         lam, X, R, res = _rayleigh_ritz(Qo, A, B)
         inside = _in_mask(lam, kind, params)
-        Qn = _node_update(LUb, permb, z, w, X, R, lam)
+        Qn = _node_update(LUb, permb, z, w, X, R, lam, solve_dtype, Sb_ref)
         return Qn, lam, X, res, inside
 
     def cond(state):
@@ -499,7 +502,8 @@ def _feast_compiled(Q: CX, A: CX, B, LUb, permb, z: CX, w: CX,
 def feast_compiled(A, X0, contour: Optional[ct.Contour] = None, *,
                    c: complex = 0.0 + 0.0j, r: float = 1.0, nodes: int = 8,
                    iters: int = 10, tol: float = 1e-12,
-                   ortho: str = "cholqr2", B=None, mesh=None) -> FeastResult:
+                   ortho: str = "cholqr2", B=None, mesh=None,
+                   mixed_prec: bool = False) -> FeastResult:
     """feast/gen_feast with the entire refinement loop in one jit.
 
     Semantics match `feast`/`gen_feast` with store=True; convergence is
@@ -517,8 +521,10 @@ def feast_compiled(A, X0, contour: Optional[ct.Contour] = None, *,
         Q = pmesh.replicate(Q, mesh)
         if B is not None:
             B = pmesh.replicate(B, mesh)
-    LUb, permb = jax.jit(lumod.lu_factor_batched)(Sb)
+    LUb, permb = jax.jit(lumod.lu_factor_batched)(
+        Sb.astype(jnp.float32) if mixed_prec else Sb)
+    Sb_pass = Sb if mixed_prec else CX(jnp.zeros((0,)), jnp.zeros((0,)))
     lam, X, res, inside, it, done = _feast_compiled(
-        Q, A, B, LUb, permb, z, w, contour.kind, contour.params, ortho,
-        int(iters), float(tol))
+        Q, A, B, LUb, permb, Sb_pass, z, w, contour.kind, contour.params,
+        ortho, int(iters), float(tol), bool(mixed_prec))
     return FeastResult(lam, X, res, inside, int(it), bool(done))

@@ -107,3 +107,16 @@ def test_cx_div_robust():
     a = cx.from_numpy(np.array([1e300 + 1e300j]))
     out = cx.to_numpy(a / a)
     np.testing.assert_allclose(out, 1.0, rtol=1e-12)
+
+
+def test_elliptical_contour():
+    k = ct.elliptical_contour_trapezoidal(1.0 + 0.5j, 2.0, 0.5, 32)
+    # closed contour: rho ~ 1 at center, ~0 far outside
+    rho_in = ct.rational_func(np.array([1.0 + 0.5j]), k)
+    np.testing.assert_allclose(rho_in, 1.0, atol=1e-6)
+    rho_out = ct.rational_func(np.array([30.0 + 0j]), k)
+    assert abs(rho_out[0]) < 1e-2
+    # membership
+    lam = np.array([1.0 + 0.5j, 2.9 + 0.5j, 1.0 + 1.1j])
+    np.testing.assert_array_equal(np.asarray(ct.in_contour(lam, k)),
+                                  [True, True, False])

@@ -152,3 +152,25 @@ def test_feast_compiled_mesh(diag25):
                          mesh=node_mesh(8))
     lam, _, r = out.filtered()
     np.testing.assert_allclose(np.sort(lam.real), [1.0, 2.0, 3.0], atol=1e-10)
+
+
+def test_node_on_eigenvalue_no_nan(diag25):
+    """A quadrature node exactly on an eigenvalue makes (A - z I) singular —
+    unhandled in the reference (SURVEY.md section 5); here the guarded-pivot
+    LU keeps everything finite and the solver still converges (the RII
+    update from the singular node is huge but lies in the eigenvector
+    direction, which the Rayleigh-Ritz absorbs)."""
+    A, X0 = diag25
+    k = ct.custom_contour(
+        np.array([2.0 + 0.0j, 1.5 + 2.0j, 1.0 - 0.0j, 1.5 - 2.0j]),
+        np.array([0.5, 0.5j, -0.5, -0.5j]) / (2j * np.pi) * 4.0)
+    # use the circle driver with a node forced onto eigenvalue 2.0
+    base = ct.circular_contour_trapezoidal(1.5 + 0j, 2.0, 8)
+    nodes = np.asarray(base.nodes).copy()
+    nodes[0] = 2.0 + 0.0j  # exactly an eigenvalue of A
+    forced = ct.Contour(nodes, np.asarray(base.weights), "circle",
+                        base.params)
+    out = feast(A, X0, contour=forced, iters=15, tol=1e-10)
+    assert np.isfinite(np.asarray(out.res)).all()
+    lam, _, r = out.filtered()
+    assert np.isfinite(lam).all()
