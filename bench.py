@@ -1,7 +1,9 @@
 """Benchmark: wall-time to 1e-10 residual for a dense FEAST slice.
 
 Config (BASELINE.md config 1 scaled up): dense non-Hermitian 1024x1024,
-circular contour around the low spectrum, 8 trapezoid nodes, m0=32.
+circular contour around the low spectrum, 16 trapezoid nodes, m0=32
+(16 nodes = the reference's nlfeast default; the sharper filter converges
+in ~5 refinement iterations).
 The baseline is the SAME algorithm executed by LAPACK/BLAS through numpy
 complex128 on host CPU — i.e. what the Julia reference does (its compute
 is 100% LAPACK FFI: SURVEY.md section 2.2), so `vs_baseline` measures
@@ -27,7 +29,7 @@ def _problem(n=1024, m0=32, seed=0):
     return A, X0, c, r
 
 
-def numpy_feast(A, X0, c, r, nodes=8, tol=1e-10, iters=20):
+def numpy_feast(A, X0, c, r, nodes=16, tol=1e-10, iters=20):
     """Reference-equivalent FEAST loop on LAPACK complex128 (feast.jl:10-80)."""
     n, m0 = X0.shape
     theta = np.pi / nodes + 2 * np.pi * np.arange(nodes) / nodes
@@ -56,7 +58,7 @@ def numpy_feast(A, X0, c, r, nodes=8, tol=1e-10, iters=20):
     return time.perf_counter() - t0, float(res[inside].max()), nit
 
 
-def tpu_feast(A, X0, c, r, nodes=8, tol=1e-10, iters=20):
+def tpu_feast(A, X0, c, r, nodes=16, tol=1e-10, iters=20):
     import jax
 
     jax.config.update("jax_enable_x64", True)  # f64 pair driver math

@@ -117,9 +117,13 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
                     iters: int = 20, tol: float = 1e-10,
                     solver: str = "bicgstab", solve_tol: float = 1e-10,
                     solve_iters: int = 1000, precondition: bool = True,
-                    ortho: str = "cholqr2",
+                    ortho: str = "cholqr2", mesh=None,
                     debug: bool = False) -> FeastResult:
-    """RII FEAST with matrix-free iterative node solves (sparse-ready)."""
+    """RII FEAST with matrix-free iterative node solves (sparse-ready).
+
+    mesh: shards the node axis (z, w, per-node Krylov warm starts) across
+    devices; the matrix-free operators replicate (CSR data is tiny next to
+    the Krylov work)."""
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     A = _to_op(A, dtype)
     B = _to_op(B, dtype)
@@ -130,6 +134,13 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
     z = contour.device_nodes(dtype)
     w = contour.device_weights(dtype)
     N = len(contour)
+    if mesh is not None:
+        from ..parallel import mesh as pmesh
+        z = pmesh.shard_nodes(z, mesh)
+        w = pmesh.shard_nodes(w, mesh)
+        X = pmesh.replicate(X, mesh)
+        A = pmesh.replicate(A, mesh) if A is not None else None
+        B = pmesh.replicate(B, mesh) if B is not None else None
 
     solve_fn = krylov.bicgstab if solver == "bicgstab" else functools.partial(
         krylov.gmres, restart=min(40, max(10, n // 8)))
@@ -168,6 +179,9 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
         return Qn, Xn, lam, res, inside, warm_new
 
     warm = cx.zeros((N, n, m0), dtype)
+    if mesh is not None:
+        from ..parallel import mesh as pmesh
+        warm = pmesh.shard_nodes(warm, mesh)
     lam = res = inside = None
     Xout = X
     n_iter, converged = 0, False
