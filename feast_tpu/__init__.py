@@ -12,7 +12,7 @@ from .contour import (circular_contour_gauss, circular_contour_trapezoidal,
                       elliptical_contour_trapezoidal,
                       custom_contour, in_contour, rational_func,
                       rectangular_contour_gauss,
-                      rectangular_contour_trapezoidal)
+                      rectangular_contour_trapezoidal, zolotarev_contour)
 from .nep import CallableNEP, LinearPencilNEP, PolynomialNEP, SPMF
 from .utils import convergence_info, print_convergence_info
 from .solvers import (beyn, block_ss, companion, contour_estimate_eig,

@@ -277,3 +277,81 @@ def elliptical_contour_trapezoidal(c: complex, rx: float, ry: float,
     weights = dz * (2 * np.pi / n) / (2j * np.pi)
     return Contour(nodes, weights, "ellipse",
                    (c.real, c.imag, float(rx), float(ry)))
+
+
+def zolotarev_contour(a: float, b: float, n: int = 8,
+                      gap: Optional[float] = None,
+                      spectrum_bound: Optional[float] = None) -> Contour:
+    """Zolotarev rational filter for a REAL spectral slice [a, b] (Hermitian
+    problems), expressed as quadrature nodes/weights via partial fractions.
+
+    The optimal type-(2n-1, 2n) Zolotarev approximation R to sign(x) on
+    ell <= |x| <= 1 (Jacobi elliptic construction; retrieved paper:
+    "Zolotarev quadrature rules and load balancing for the FEAST
+    eigensolver", arXiv:1407.8078) yields the filter
+
+        chi(x) = [R((x-a)/S) - R((x-b)/S)] / 2  ~  indicator of [a, b],
+
+    whose error decays like exp(-C n / log(1/ell)) — dramatically sharper
+    than Gauss/trapezoid contours at equal node count, at the price of
+    being specific to real slices.  4n shifted solves (poles at
+    a +- i S sqrt(c_j), b +- i S sqrt(c_j)).
+
+    gap: transition half-width around the endpoints (eigenvalues within
+      `gap` of a or b filter ambiguously); default (b-a)/100.
+    spectrum_bound: S with |lam - a|, |lam - b| <= S over the whole
+      spectrum; default 50*(b-a).
+
+    Practical note (measured, tests/test_contour.py): with this framework's
+    RII update and the usual m0 > count subspace buffer, Gauss circles often
+    converge in FEWER refinement iterations even for eigenvalues 1% outside
+    the slice — the buffer absorbs boundary eigenvalues.  Zolotarev's
+    uniform-error filter is most useful for one-shot filtering and
+    load-balanced multi-slice partitions (its filter quality is
+    slice-position independent).
+    """
+    from scipy.special import ellipj, ellipk
+
+    if not b > a:
+        raise ValueError("need a < b")
+    width = b - a
+    g = gap if gap is not None else width / 100.0
+    S = spectrum_bound if spectrum_bound is not None else 50.0 * width
+    ell = g / S
+    mp = 1.0 - ell * ell
+    Kp = ellipk(mp)
+    j = np.arange(1, 2 * n)
+    sn, cn, _, _ = ellipj(j * Kp / (2 * n), mp)
+    cc = ell * ell * (sn / cn) ** 2
+    c_odd = cc[0::2]    # n pole parameters
+    c_even = cc[1::2]   # n-1 zero parameters
+
+    # normalization M: equioscillate R around 1 on [ell, 1]
+    xs = np.linspace(ell, 1.0, 4001)
+    num = xs * np.prod(xs[None, :] ** 2 + c_even[:, None], axis=0)
+    den = np.prod(xs[None, :] ** 2 + c_odd[:, None], axis=0)
+    vals = num / den
+    M = 2.0 / (vals.min() + vals.max())
+
+    # residues of R at u = +-i sqrt(c_odd_j):  real, shared by the pair
+    res = np.empty(n)
+    for k in range(n):
+        pe = np.prod(c_even - c_odd[k]) if n > 1 else 1.0
+        po = np.prod(np.delete(c_odd, k) - c_odd[k]) if n > 1 else 1.0
+        res[k] = M * pe / (2.0 * po)
+
+    sq = np.sqrt(c_odd)
+    nodes = np.concatenate([
+        a + 1j * S * sq, a - 1j * S * sq,
+        b + 1j * S * sq, b - 1j * S * sq,
+    ])
+    q = np.concatenate([
+        S * res / 2.0, S * res / 2.0,
+        -S * res / 2.0, -S * res / 2.0,
+    ])
+    # our convention: rho(x) = sum w_i / (z_i - x)  =>  w = -q for
+    # filter(x) = sum q_i / (x - z_i)
+    weights = (-q).astype(np.complex128)
+    hbox = max(g, 1e-12 * width)
+    return Contour(nodes.astype(np.complex128), weights, "rect",
+                   (float(a), -float(hbox), float(b), float(hbox)))

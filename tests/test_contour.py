@@ -121,3 +121,25 @@ def test_elliptical_contour():
     lam = np.array([1.0 + 0.5j, 2.9 + 0.5j, 1.0 + 1.1j])
     np.testing.assert_array_equal(np.asarray(ct.in_contour(lam, k)),
                                   [True, True, False])
+
+
+def test_zolotarev_contour_filter_and_feast():
+    import jax
+    import feast_tpu as ft
+    from feast_tpu import problems
+
+    k = ct.zolotarev_contour(0.0, 0.1, n=6, gap=0.002, spectrum_bound=4.0)
+    xs = np.linspace(-0.5, 0.6, 45)
+    rho = ct.rational_func(xs, k).real
+    inside = (xs > 0.005) & (xs < 0.095)
+    outside = (xs < -0.01) | (xs > 0.11)
+    assert np.abs(rho[inside] - 1).max() < 0.02
+    assert np.abs(rho[outside]).max() < 0.02
+    # drives FEAST to convergence on the Laplacian slice
+    L = problems.laplacian_1d(100)
+    rng = np.random.default_rng(1)
+    X0 = rng.standard_normal((100, 15)) + 1j * rng.standard_normal((100, 15))
+    from feast_tpu.solvers import feast
+    out = feast(L, X0, contour=k, iters=30, tol=1e-13)
+    lam, _, r = out.filtered()
+    assert len(lam) == 10 and r.max() < 1e-13
