@@ -1,0 +1,52 @@
+"""Diagnostics: convergence_info, filter_quality, PhaseTimer, tracing."""
+
+import numpy as np
+
+import feast_tpu as ft
+from feast_tpu import contour as ct
+from feast_tpu.utils import PhaseTimer, convergence_info, filter_quality
+
+
+def test_convergence_info():
+    lam = np.array([1.0, 2.0, 9.0, 1.5 + 0.1j])
+    res = np.array([1e-13, 1e-6, 1e-2, 1e-4])
+    k = ct.circular_contour_trapezoidal(1.5 + 0j, 1.0, 8)
+    info = convergence_info(lam, None, res, k, spurious=1e-3)
+    assert info["inside"] == 3           # 1.0, 2.0, 1.5+0.1j
+    assert info["non_spurious"] == 3     # their residuals all < 1e-3
+    assert info["max_res_inside"] == 1e-4
+
+
+def test_filter_quality_orders_contours():
+    k8 = ct.circular_contour_gauss(0.0 + 0j, 1.0, 8)
+    k32 = ct.circular_contour_gauss(0.0 + 0j, 1.0, 32)
+    q8 = filter_quality(k8)
+    q32 = filter_quality(k32)
+    # more nodes -> better interior flatness and faster exterior decay
+    assert q32["max_inside_error"] < q8["max_inside_error"]
+    assert q32["max_at_2r"] < q8["max_at_2r"]
+
+
+def test_phase_timer():
+    t = PhaseTimer()
+    t.start("solve", work_units=100.0)
+    rec = t.stop()
+    assert rec["phase"] == "solve" and rec["wall_s"] >= 0.0
+    assert "units_per_s" in rec
+    t.start("solve")
+    t.stop()
+    assert "solve" in t.summary()
+
+
+def test_trace_context(tmp_path):
+    import jax.numpy as jnp
+
+    from feast_tpu.utils import tracing
+
+    with tracing.trace(str(tmp_path / "tr")):
+        x = jnp.ones((4, 4)) @ jnp.ones((4, 4))
+        np.asarray(x)
+    # trace directory exists and has content
+    import os
+
+    assert any(os.scandir(str(tmp_path / "tr")))
