@@ -18,3 +18,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """The suite compiles hundreds of executables; without trimming the
+    compilation caches between modules the process eventually aborts inside
+    XLA's compiler (memory exhaustion)."""
+    yield
+    jax.clear_caches()
