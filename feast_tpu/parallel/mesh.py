@@ -79,3 +79,32 @@ def shard_rows(tree, mesh: Mesh):
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map(place, tree)
+
+
+def row_sharded_qr(A: CX, mesh: Mesh, method: str = "cholqr2"):
+    """Tall-skinny QR with rows sharded over the `row` mesh axis.
+
+    The Gram matrices inside CholeskyQR become psums over `row` (the TSQR
+    pattern, SURVEY.md N6): each device holds an (n/p, m) row block, the
+    only communication is two m x m all-reduces per pass.  Returns (Q
+    row-sharded, R replicated).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops import qr as qrmod
+
+    fn = {"cholqr2": qrmod.cholqr2, "cholqr3": qrmod.cholqr3}[method]
+
+    def local(Ar, Ai):
+        Q, R = fn(CX(Ar, Ai), psum_axis="row")
+        return Q.re, Q.im, R.re, R.im
+
+    f = shard_map(local, mesh=mesh,
+                  in_specs=(P("row", None), P("row", None)),
+                  out_specs=(P("row", None), P("row", None),
+                             P(None, None), P(None, None)))
+    Ar = jax.device_put(A.re, NamedSharding(mesh, P("row", None)))
+    Ai = jax.device_put(A.im, NamedSharding(mesh, P("row", None)))
+    qre, qim, rre, rim = jax.jit(f)(Ar, Ai)
+    return CX(qre, qim), CX(rre, rim)
