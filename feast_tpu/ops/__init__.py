@@ -1,1 +1,1 @@
-from . import eig, krylov, lu, qr, qz, sparse, svd
+from . import eig, eigh, krylov, lu, qr, qz, sparse, svd

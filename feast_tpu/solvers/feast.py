@@ -94,10 +94,31 @@ def _rayleigh_ritz(Q: CX, A: CX, B: Optional[CX], pencil: str = "lu"):
 
     pencil: "lu" reduces the generalized RR via B_q^{-1} A_q (fast; B_q is
     well-conditioned for orthonormal Q); "qz" runs the full QZ kernel
-    (robust to singular/indefinite B projections)."""
+    (robust to singular/indefinite B projections); "hermitian" uses the
+    real-symmetric-embedding eigh (ops/eigh.py) — XLA-native on TPU, much
+    faster than the Schur iteration; requires A Hermitian (and B Hermitian
+    positive-definite if given)."""
     AQ = cx.cmatmul(A, Q)
     Aq = cx.cmatmul(Q.H, AQ)
-    if B is None:
+    if pencil == "hermitian":
+        from ..ops import eigh as eighmod
+        from ..ops import qr as qrsolve
+
+        Aq = CX((Aq.re + Aq.re.T) / 2, (Aq.im - Aq.im.T) / 2)
+        if B is None:
+            wr, Xq = eighmod.eigh_cx(Aq)
+        else:
+            # B-definite reduction: Bq = L L^H; eigh(L^-1 Aq L^-H)
+            Bq = cx.cmatmul(Q.H, cx.cmatmul(B, Q))
+            Bq = CX((Bq.re + Bq.re.T) / 2, (Bq.im - Bq.im.T) / 2)
+            L = qrsolve.cholesky(Bq)
+            Ct = qrsolve.solve_lower(L, Aq)          # L^-1 Aq
+            C = qrsolve.solve_lower(L, Ct.H).H      # (L^-1 (L^-1 Aq)^H)^H
+            C = CX((C.re + C.re.T) / 2, (C.im - C.im.T) / 2)
+            wr, Y = eighmod.eigh_cx(C)
+            Xq = qrsolve.solve_upper(L.H, Y)        # L^-H Y
+        lam = CX(wr, jnp.zeros_like(wr))
+    elif B is None:
         lam, Xq = eigmod.eig(Aq)
     elif pencil == "qz":
         from ..ops import qz as qzmod
@@ -155,13 +176,13 @@ def _node_update(LUb, permb, z: CX, w: CX, X: CX, R: CX, lam: CX,
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "params", "ortho", "store",
-                                             "solve_f32"))
+                                             "solve_f32", "pencil"))
 def _feast_step(Q: CX, A: CX, B, LUb, permb, Sb, z: CX, w: CX,
                 kind: str, params, ortho: str, store: bool,
-                solve_f32: bool):
+                solve_f32: bool, pencil: str = "lu"):
     """One FEAST refinement iteration (jitted once per shape)."""
     Qo = qrmod.orthonormalize(Q, method=ortho)
-    lam, X, R, res = _rayleigh_ritz(Qo, A, B)
+    lam, X, R, res = _rayleigh_ritz(Qo, A, B, pencil)
     inside = _in_mask(lam, kind, params)
     if not store:
         LUb, permb = lumod.lu_factor_batched(
@@ -247,6 +268,7 @@ def feast(A, X0, contour: Optional[ct.Contour] = None, *,
           iters: int = 10, tol: float = 1e-12, store: bool = True,
           mixed_prec: bool = False, ortho: str = "cholqr2",
           block: int = 64, debug: bool = False, mesh=None, rr: str = "device",
+          hermitian: bool = False,
           callback: Optional[Callable] = None) -> FeastResult:
     """Standard linear FEAST: eigenpairs of A inside the contour.
 
@@ -263,7 +285,8 @@ def feast(A, X0, contour: Optional[ct.Contour] = None, *,
     all O(n^2)+ work stays on device).
     """
     return _drive(A, None, X0, contour, c, r, nodes, iters, tol, store,
-                  mixed_prec, ortho, block, debug, callback, mesh, rr)
+                  mixed_prec, ortho, block, debug, callback, mesh, rr,
+                  "hermitian" if hermitian else "lu")
 
 
 def gen_feast(A, B, X0, contour: Optional[ct.Contour] = None, *,
@@ -271,19 +294,23 @@ def gen_feast(A, B, X0, contour: Optional[ct.Contour] = None, *,
               iters: int = 10, tol: float = 1e-12, store: bool = True,
               mixed_prec: bool = False, ortho: str = "cholqr2",
               block: int = 64, debug: bool = False, mesh=None,
-              rr: str = "device",
+              rr: str = "device", pencil: str = "lu",
               callback: Optional[Callable] = None) -> FeastResult:
     """Generalized linear FEAST: A x = lam B x inside the contour
-    (gen_feast!, feast.jl:82-156)."""
+    (gen_feast!, feast.jl:82-156).
+
+    pencil: "lu" (default), "qz" (robust full QZ), or "hermitian"
+    (A Hermitian, B Hermitian positive-definite: native-eigh fast path)."""
     if B is None:
         raise ValueError("gen_feast requires B; use feast() for B=I")
     return _drive(A, B, X0, contour, c, r, nodes, iters, tol, store,
-                  mixed_prec, ortho, block, debug, callback, mesh, rr)
+                  mixed_prec, ortho, block, debug, callback, mesh, rr,
+                  pencil)
 
 
 def _drive(A, B, X0, contour, c, r, nodes, iters, tol, store,
            mixed_prec, ortho, block, debug, callback, mesh=None,
-           rr: str = "device") -> FeastResult:
+           rr: str = "device", pencil: str = "lu") -> FeastResult:
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     A, B, Q, contour, z, w = _prepare(A, B, X0, contour, c, r, nodes, dtype)
     solve_f32 = bool(mixed_prec)
@@ -326,7 +353,8 @@ def _drive(A, B, X0, contour, c, r, nodes, iters, tol, store,
         else:
             Qn, lam, X, res, inside = _feast_step(
                 Q, A, B, LUb, permb, Sb_pass, z, w,
-                contour.kind, contour.params, ortho, store, solve_f32)
+                contour.kind, contour.params, ortho, store, solve_f32,
+                pencil)
         res_h = np.asarray(res)
         inside_h = np.asarray(inside)
         if debug:

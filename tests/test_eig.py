@@ -85,3 +85,52 @@ def test_clustered_eigenvalues():
     wn = np.sort_complex(cx.to_numpy(w))
     ref = np.sort_complex(lam)
     np.testing.assert_allclose(wn, ref, atol=1e-8)
+
+
+def test_eigh_embedding():
+    """Hermitian eigh via the real-symmetric embedding (ops/eigh.py)."""
+    from feast_tpu.ops.eigh import eigh_cx
+
+    rng = np.random.default_rng(0)
+    for n in (8, 32):
+        a = _rand_c(n, seed=n)
+        H = (a + a.conj().T) / 2
+        w, V = jax.jit(eigh_cx)(cx.from_numpy(H))
+        wn, Vn = np.asarray(w), cx.to_numpy(V)
+        np.testing.assert_allclose(np.sort(wn), np.linalg.eigvalsh(H),
+                                   atol=1e-12 * n)
+        assert np.linalg.norm(H @ Vn - Vn * wn[None, :], axis=0).max() < 1e-12 * n
+        assert np.abs(Vn.conj().T @ Vn - np.eye(n)).max() < 1e-12 * n
+
+
+def test_eigh_embedding_degenerate():
+    from feast_tpu.ops.eigh import eigh_cx
+
+    rng = np.random.default_rng(3)
+    q, _ = np.linalg.qr(_rand_c(12, seed=5))
+    lam = np.array([1.0] * 3 + [2.0] * 4 + list(np.arange(3.0, 8.0)))
+    H = q @ np.diag(lam) @ q.conj().T
+    H = (H + H.conj().T) / 2
+    w, V = eigh_cx(cx.from_numpy(H))
+    Vn, wn = cx.to_numpy(V), np.asarray(w)
+    assert np.linalg.norm(H @ Vn - Vn * wn[None, :], axis=0).max() < 1e-12
+    assert np.abs(Vn.conj().T @ Vn - np.eye(12)).max() < 1e-12
+
+
+def test_feast_hermitian_fast_path():
+    import feast_tpu as ft
+    from feast_tpu import problems
+
+    rng = np.random.default_rng(1)
+    L = problems.laplacian_1d(100)
+    X0 = rng.standard_normal((100, 15)) + 1j * rng.standard_normal((100, 15))
+    out = ft.feast(L, X0, c=0.05 + 0j, r=0.05, nodes=8, iters=30, tol=1e-14,
+                   hermitian=True)
+    lam, _, r = out.filtered()
+    assert len(lam) == 10 and r.max() < 1e-14
+    outg = ft.gen_feast(L, np.eye(100, dtype=np.complex128), X0,
+                        c=0.05 + 0j, r=0.05, nodes=8, iters=30, tol=1e-14,
+                        pencil="hermitian")
+    lamg, _, rg = outg.filtered()
+    np.testing.assert_allclose(np.sort(lamg.real), np.sort(lam.real),
+                               atol=1e-12)
