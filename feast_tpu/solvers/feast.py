@@ -421,7 +421,14 @@ def _dual_step(Qr: CX, Ql: CX, A: CX, B: CX, LUr, permr, LUl, perml,
     Aq = cx.cmatmul(Ql.H, cx.cmatmul(A, Qr))
     Bq = cx.cmatmul(Ql.H, cx.cmatmul(B, Qr))
     lam, Xq = eigmod.gen_eig(Aq, Bq)
-    laml, Xql = eigmod.gen_eig(Aq.H, Bq.H)
+    # left reduced vectors PAIRED with lam: W^H Aq = lam W^H Bq has the
+    # closed form W = Bq^{-H} (Xq^{-1})^H (the reference solves the adjoint
+    # pencil separately, feast.jl:206-212, which returns the columns in an
+    # unrelated order — harmless for the subspace, wrong for pairing).
+    m0q = Xq.shape[0]
+    Xq_inv = lumod.solve(Xq, cx.eye(m0q, Xq.dtype))
+    LUbq, permbq = lumod.lu_factor(Bq.H)
+    Xql = lumod.lu_solve(LUbq, permbq, Xq_inv.H)
     Xr = cx.normalize_cols(cx.cmatmul(Qr, Xq))
     Xl = cx.normalize_cols(cx.cmatmul(Ql, Xql))
     Rr = cx.cmatmul(A, Xr) - cx.scale_cols(cx.cmatmul(B, Xr), lam)

@@ -174,3 +174,43 @@ def test_node_on_eigenvalue_no_nan(diag25):
     assert np.isfinite(np.asarray(out.res)).all()
     lam, _, r = out.filtered()
     assert np.isfinite(lam).all()
+
+
+def test_grcar_two_sided():
+    """Two-sided FEAST on the grcar-like banded non-Hermitian matrix
+    (reference test/non_hermitian.jl:6-33): left+right eigenpairs."""
+    n = 80
+    A = (np.diag(np.full(n, 1.0)) + np.diag(np.ones(n - 1), 1)
+         + np.diag(np.ones(n - 2), 2) + np.diag(np.ones(n - 3), 3)
+         - np.diag(np.ones(n - 1), -1)).astype(np.complex128)
+    wref = np.linalg.eigvals(A)
+    c, r = 1.0 + 1.5j, 0.6
+    m_in = (np.abs(wref - c) <= r).sum()
+    assert m_in > 0
+    rng = np.random.default_rng(2)
+    X0 = _x0(rng, n, int(m_in) + 6)
+    out = dual_gen_feast(A, np.eye(n, dtype=np.complex128), X0, X0.copy(),
+                         c=c, r=r, nodes=16, iters=40, tol=1e-10)
+    lam, Xr, Xl, res = out.filtered()
+    assert len(lam) == m_in
+    assert res.max() < 1e-10
+    # left residuals
+    rl = np.linalg.norm(Xl.conj().T @ A - lam[:, None] * Xl.conj().T, axis=1)
+    assert rl.max() < 1e-8
+    ref_in = np.sort_complex(wref[np.abs(wref - c) <= r])
+    np.testing.assert_allclose(np.sort_complex(lam), ref_in, atol=1e-8)
+
+
+def test_stochastic_count_1000_laplacian():
+    """contour_estimate_eig on the 1000-dof Laplacian
+    (reference test/contour_test.jl:7-32)."""
+    import feast_tpu as ft
+    from feast_tpu import problems
+
+    n = 1000
+    L = problems.laplacian_1d(n)
+    exact = 2.0 - 2.0 * np.cos(np.pi * np.arange(1, n + 1) / (n + 1))
+    k = ct.circular_contour_trapezoidal(0.01 + 0j, 0.01, 16)
+    true = ((exact > 0.0) & (exact < 0.02)).sum()
+    est = ft.contour_estimate_eig(L, k, samples=100, seed=3)
+    assert abs(est - true) <= max(3, 0.3 * true)
