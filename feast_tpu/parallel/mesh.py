@@ -89,7 +89,10 @@ def row_sharded_qr(A: CX, mesh: Mesh, method: str = "cholqr2"):
     only communication is two m x m all-reduces per pass.  Returns (Q
     row-sharded, R replicated).
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     from ..ops import qr as qrmod
