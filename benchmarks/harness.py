@@ -89,10 +89,15 @@ def main():
     ap.add_argument("--iters", type=int, nargs="+", default=[0, 2, 5, 10])
     ap.add_argument("--moments", type=int, default=1)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--platform", default="cpu",
+                    help="cpu (default: fast correctness tables) or "
+                         "'default' to use the session backend (TPU perf)")
     args = ap.parse_args()
 
     import jax
 
+    if args.platform != "default":
+        jax.config.update("jax_platforms", args.platform)
     jax.config.update("jax_enable_x64", True)
 
     table = res_table(args.problem, args.nodes, args.iters, args.moments)
