@@ -234,11 +234,14 @@ def _nlfeast_step_host(T, LUb, permb, z, w, X, R, lam, contour, first):
 
     terms = jax.vmap(one_node)(LUb, permb, z, w)
     Q0 = CX(jnp.sum(terms.re, 0), jnp.sum(terms.im, 0))
-    zb = CX(z.re[:, None, None], z.im[:, None, None])
+    # centered-scaled first moment (same conditioning fix as the SPMF path)
+    zeta, scale = _scaled(contour, z)
+    zb = CX(zeta.re[:, None, None], zeta.im[:, None, None])
     q1 = CX(terms.re * zb.re - terms.im * zb.im,
             terms.re * zb.im + terms.im * zb.re)
     Q1 = CX(jnp.sum(q1.re, 0), jnp.sum(q1.im, 0))
-    lam_new, Xn = beyn_svd_extract(Q0, Q1)
+    mu, Xn = beyn_svd_extract(Q0, Q1)
+    lam_new = _unscale(mu, scale)
     Xn = cx.normalize_cols(Xn)
     Xh, lamh = cx.to_numpy(Xn), cx.to_numpy(lam_new)
     Rh = T.host_apply_cols(Xh, lamh)

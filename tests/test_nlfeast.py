@@ -282,3 +282,19 @@ def test_beyn_extraction_variants():
         # single filter application, 16 trapezoid nodes: ~1e-5 accuracy
         np.testing.assert_allclose(np.sort(lam_n[inside].real), [1, 2, 3],
                                    atol=1e-4)
+
+
+def test_callable_nep_off_origin_contour():
+    # host mode at c=101.5 (would collapse with raw z moments)
+    A = np.diag(np.arange(100.0, 125.0)).astype(np.complex128)
+
+    def T(zv):
+        return A - zv * np.eye(25)
+
+    rng = np.random.default_rng(0)
+    X0 = _rand_c(rng, 25, 6)
+    out = ft.nlfeast(T, X0, nodes=8, iters=20, c=101.5 + 0j, r=2.0, tol=1e-11)
+    lam, _, r = out.filtered(spurious=1e-5)
+    np.testing.assert_allclose(np.sort(lam.real), [100, 101, 102, 103],
+                               atol=1e-8)
+    assert r.max() < 1e-11
