@@ -50,3 +50,27 @@ def test_trace_context(tmp_path):
     import os
 
     assert any(os.scandir(str(tmp_path / "tr")))
+
+
+def test_public_api_surface():
+    """Every advertised export exists and is callable (README parity)."""
+    solvers = ["feast", "feast_compiled", "gen_feast", "dual_gen_feast",
+               "ifeast", "feast_iterative", "nlfeast", "nlfeast_it",
+               "nlfeast_moments", "nlfeast_moments_all", "nlfeast_moments_ss",
+               "nlfeast_rr", "beyn", "block_ss", "companion",
+               "contour_estimate_eig"]
+    contours = ["circular_contour_trapezoidal", "circular_contour_gauss",
+                "rectangular_contour_trapezoidal", "rectangular_contour_gauss",
+                "elliptical_contour_trapezoidal", "zolotarev_contour",
+                "custom_contour", "in_contour", "rational_func"]
+    misc = ["convergence_info", "print_convergence_info", "SPMF",
+            "PolynomialNEP", "LinearPencilNEP", "CallableNEP"]
+    for name in solvers + contours + misc:
+        assert callable(getattr(ft, name)), name
+    # parallel + io submodules
+    from feast_tpu.parallel import (feast_sliced, node_mesh, row_sharded_qr,
+                                    shard_nodes, spectral_slices)
+    from feast_tpu.io import load_slice, read_matrix_market, save_slice
+    for f in (feast_sliced, node_mesh, row_sharded_qr, shard_nodes,
+              spectral_slices, load_slice, read_matrix_market, save_slice):
+        assert callable(f)
