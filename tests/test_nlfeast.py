@@ -298,3 +298,25 @@ def test_callable_nep_off_origin_contour():
     np.testing.assert_allclose(np.sort(lam.real), [100, 101, 102, 103],
                                atol=1e-8)
     assert r.max() < 1e-11
+
+
+def test_nlfeast_rectangular_contour(generic_quadratic):
+    """nlfeast accepts arbitrary Contour objects — the reference hardcodes
+    the trapezoid circle (nlfeast.jl:8); SURVEY.md flags unification."""
+    from feast_tpu import contour as ct
+
+    coeffs = generic_quadratic
+    T = ft.PolynomialNEP(coeffs)
+    rng = np.random.default_rng(1)
+    X0 = _rand_c(rng, coeffs[0].shape[0], 14)
+    k = ct.rectangular_contour_gauss(-0.6 - 0.6j, 0.6 + 0.6j, 32)
+    out = ft.nlfeast(T, X0, iters=30, contour=k, tol=1e-11, spurious=1e-3)
+    lam, _, r = out.filtered(spurious=1e-3)
+    exact = ft.companion(coeffs)
+    le = cx.to_numpy(exact.lam)
+    re_ = np.asarray(exact.res)
+    want = np.sort_complex(le[(np.abs(le.real) < 0.6) & (np.abs(le.imag) < 0.6)
+                              & (re_ < 1e-10)])
+    assert len(lam) == len(want)
+    np.testing.assert_allclose(np.sort_complex(lam), want, atol=1e-7)
+    assert r.max() < 1e-11
