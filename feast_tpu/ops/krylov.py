@@ -186,3 +186,137 @@ def gmres(matvec: Callable[[CX], CX], B: CX, x0: Optional[CX] = None,
     x, it = lax.while_loop(cond, body, (x, jnp.array(0, jnp.int32)))
     rel = cx.col_norms(B - matvec(x)) / bnorm
     return KrylovResult(x, rel, it, rel <= tol)
+
+
+def bicgstab_l(matvec: Callable[[CX], CX], B: CX, x0: Optional[CX] = None,
+               ell: int = 2, tol: float = 1e-8, maxiter: int = 500,
+               M: Optional[Callable[[CX], CX]] = None) -> KrylovResult:
+    """BiCGStab(l) (Sleijpen-Fokkema) for a block of RHS — the method the
+    reference actually calls (`bicgstabl`, nlfeast.jl:106,139,
+    feast_experimental.jl:28).  The l-degree minimal-residual polynomial
+    smooths BiCGStab's erratic convergence on complex/indefinite spectra.
+
+    All columns advance together; per-column scalars are (m,) CX vectors;
+    storage is two (l+1, n, m) stacks.  Right-preconditioned via M.
+    maxiter counts BiCGStab(l) cycles (2*l matvecs each).
+    """
+    n, m = B.shape
+    dt = B.dtype
+    ident = (lambda v: v) if M is None else M
+    mv = (lambda v: matvec(ident(v)))
+    # x0 lives in TRUE coordinates; the iteration accumulates increments in
+    # the right-preconditioned variable, mapped back at the end.
+    x_init = cx.zeros((n, m), dt) if x0 is None else x0
+    x = cx.zeros((n, m), dt)
+    r0 = B - matvec(x_init)
+    bnorm = jnp.maximum(cx.col_norms(B), jnp.finfo(dt).tiny)
+    rhat = r0
+    one = CX(jnp.ones((m,), dt), jnp.zeros((m,), dt))
+    zero_s = cx.zeros((m,), dt)
+
+    def stack_set(S: CX, j, V: CX) -> CX:
+        return CX(lax.dynamic_update_slice(S.re, V.re[None], (j, 0, 0)),
+                  lax.dynamic_update_slice(S.im, V.im[None], (j, 0, 0)))
+
+    def stack_get(S: CX, j) -> CX:
+        return CX(lax.dynamic_slice(S.re, (j, 0, 0), (1, n, m))[0],
+                  lax.dynamic_slice(S.im, (j, 0, 0), (1, n, m))[0])
+
+    state0 = dict(
+        x=x,
+        rs=stack_set(cx.zeros((ell + 1, n, m), dt), 0, r0),
+        us=cx.zeros((ell + 1, n, m), dt),
+        rho0=one, alpha=zero_s, omega=one,
+        it=jnp.array(0, jnp.int32),
+    )
+
+    def resrel(rs):
+        return cx.col_norms(CX(rs.re[0], rs.im[0])) / bnorm
+
+    def cond(st):
+        return (jnp.max(resrel(st["rs"])) > tol) & (st["it"] < maxiter)
+
+    def body(st):
+        x, rs, us = st["x"], st["rs"], st["us"]
+        rho0, alpha, omega = st["rho0"], st["alpha"], st["omega"]
+        rho0 = CX(-(omega.re * rho0.re - omega.im * rho0.im),
+                  -(omega.re * rho0.im + omega.im * rho0.re))
+
+        # ---- BiCG part ----
+        def bicg_step(j, carry):
+            x, rs, us, rho0, alpha = carry
+            rj = stack_get(rs, j)
+            rho1 = cx.cdot_cols(rhat, rj)
+            beta = _safe_div(alpha * rho1, rho0)
+            rho0 = rho1
+
+            def upd_u(i, us):
+                ui = stack_get(us, i)
+                ri = stack_get(rs, i)
+                return stack_set(us, i, ri - cx.scale_cols(ui, beta))
+
+            us = lax.fori_loop(0, j + 1, upd_u, us)
+            uj = stack_get(us, j)
+            us = stack_set(us, j + 1, mv(uj))
+            gamma = cx.cdot_cols(rhat, stack_get(us, j + 1))
+            alpha = _safe_div(rho0, gamma)
+
+            def upd_r(i, rs):
+                ri = stack_get(rs, i)
+                ui1 = stack_get(us, i + 1)
+                return stack_set(rs, i, ri - cx.scale_cols(ui1, alpha))
+
+            rs = lax.fori_loop(0, j + 1, upd_r, rs)
+            rs = stack_set(rs, j + 1, mv(stack_get(rs, j)))
+            x = x + cx.scale_cols(stack_get(us, 0), alpha)
+            return x, rs, us, rho0, alpha
+
+        x, rs, us, rho0, alpha = lax.fori_loop(
+            0, ell, bicg_step, (x, rs, us, rho0, alpha))
+
+        # ---- MR part: min ||r_0 - sum_{j=1..l} g_j r_j|| per column ----
+        # normal equations Z g = y with Z_ij = <r_i, r_j>, y_i = <r_i, r_0>
+        Zre = jnp.zeros((ell, ell, m), dt)
+        Zim = jnp.zeros((ell, ell, m), dt)
+        Yre = jnp.zeros((ell, m), dt)
+        Yim = jnp.zeros((ell, m), dt)
+        for i_ in range(1, ell + 1):
+            ri = CX(rs.re[i_], rs.im[i_])
+            yi = cx.cdot_cols(ri, CX(rs.re[0], rs.im[0]))
+            Yre = Yre.at[i_ - 1].set(yi.re)
+            Yim = Yim.at[i_ - 1].set(yi.im)
+            for j_ in range(1, ell + 1):
+                zij = cx.cdot_cols(ri, CX(rs.re[j_], rs.im[j_]))
+                Zre = Zre.at[i_ - 1, j_ - 1].set(zij.re)
+                Zim = Zim.at[i_ - 1, j_ - 1].set(zij.im)
+        # solve the tiny l x l complex system per column (vmapped closed LU)
+        from . import lu as lumod
+
+        def solve_col(zr, zi, yr, yi):
+            sol = lumod.solve(CX(zr, zi), CX(yr[:, None], yi[:, None]),
+                              block=ell)
+            return sol.re[:, 0], sol.im[:, 0]
+
+        g_re, g_im = jax.vmap(solve_col, in_axes=(2, 2, 1, 1),
+                              out_axes=(1, 1))(Zre, Zim, Yre, Yim)
+        g = CX(g_re, g_im)  # (l, m)
+
+        # updates: x += sum g_j r_{j-1};  r_0 -= sum g_j r_j;  u_0 -= sum g_j u_j
+        for j_ in range(1, ell + 1):
+            gj = CX(g.re[j_ - 1], g.im[j_ - 1])
+            x = x + cx.scale_cols(CX(rs.re[j_ - 1], rs.im[j_ - 1]), gj)
+            r0n = CX(rs.re[0], rs.im[0]) - cx.scale_cols(
+                CX(rs.re[j_], rs.im[j_]), gj)
+            rs = stack_set(rs, 0, r0n)
+            u0n = CX(us.re[0], us.im[0]) - cx.scale_cols(
+                CX(us.re[j_], us.im[j_]), gj)
+            us = stack_set(us, 0, u0n)
+        omega = CX(g.re[ell - 1], g.im[ell - 1])
+        return dict(x=x, rs=rs, us=us, rho0=rho0, alpha=alpha, omega=omega,
+                    it=st["it"] + 1)
+
+    st = lax.while_loop(cond, body, state0)
+    xfin = x_init + (ident(st["x"]) if M is not None else st["x"])
+    # recompute the true residual (the recursive one can drift)
+    rel = cx.col_norms(B - matvec(xfin)) / bnorm
+    return KrylovResult(xfin, rel, st["it"], rel <= tol)

@@ -111,3 +111,32 @@ def test_mixed_prec_iterative_refinement_full_accuracy():
     assert out.converged
     np.testing.assert_allclose(np.sort(lam.real), [1, 2, 3], atol=1e-10)
     assert r.max() < 1e-12
+
+
+def test_bicgstab_l():
+    """BiCGStab(l) — the reference's actual solver (`bicgstabl`)."""
+    rng = np.random.default_rng(4)
+    n, m = 120, 5
+    A = np.diag(np.arange(1.0, n + 1.0)).astype(np.complex128) \
+        + 0.4 * _rand_c(rng, n, n)
+    B = _rand_c(rng, n, m)
+    Ac = cx.from_numpy(A)
+    mv = lambda X: cx.cmatmul(Ac, X)
+    for ell in (2, 4):
+        out = jax.jit(lambda b: krylov.bicgstab_l(
+            mv, b, ell=ell, tol=1e-10, maxiter=500))(cx.from_numpy(B))
+        X = cx.to_numpy(out.x)
+        assert np.linalg.norm(A @ X - B) / np.linalg.norm(B) < 1e-9
+        assert np.asarray(out.converged).all()
+    # warm start + right preconditioning (true-coordinate x0)
+    d = np.diag(A)
+    Mi = cx.from_numpy(1.0 / d)
+    prec = lambda X: cx.CX(X.re * Mi.re[:, None] - X.im * Mi.im[:, None],
+                           X.re * Mi.im[:, None] + X.im * Mi.re[:, None])
+    xstar = np.linalg.solve(A, B)
+    x0 = cx.from_numpy(xstar + 0.01 * _rand_c(rng, n, m))
+    out = krylov.bicgstab_l(mv, cx.from_numpy(B), x0=x0, ell=2, tol=1e-10,
+                            maxiter=500, M=prec)
+    X = cx.to_numpy(out.x)
+    assert np.linalg.norm(A @ X - B) / np.linalg.norm(B) < 1e-9
+    assert int(out.iters) <= 10  # warm start pays off
