@@ -116,6 +116,7 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
                     c: complex = 0.0 + 0.0j, r: float = 1.0, nodes: int = 8,
                     iters: int = 20, tol: float = 1e-10,
                     solver: str = "bicgstab", solve_tol: float = 1e-10,
+                    # solver: "bicgstab" | "bicgstabl" (l=2) | "gmres"
                     solve_iters: int = 1000, precondition: bool = True,
                     ortho: str = "cholqr2", mesh=None,
                     debug: bool = False) -> FeastResult:
@@ -142,8 +143,13 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
         A = pmesh.replicate(A, mesh) if A is not None else None
         B = pmesh.replicate(B, mesh) if B is not None else None
 
-    solve_fn = krylov.bicgstab if solver == "bicgstab" else functools.partial(
-        krylov.gmres, restart=min(40, max(10, n // 8)))
+    if solver == "bicgstab":
+        solve_fn = krylov.bicgstab
+    elif solver == "bicgstabl":
+        solve_fn = functools.partial(krylov.bicgstab_l, ell=2)
+    else:
+        solve_fn = functools.partial(krylov.gmres,
+                                     restart=min(40, max(10, n // 8)))
 
     @jax.jit
     def step(Q, warm):
@@ -166,9 +172,11 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
             mv = spmod.shifted_matvec(A, B, CX(zi.re, zi.im))
             M = spmod.jacobi_preconditioner(A, B, CX(zi.re, zi.im)) \
                 if precondition else None
-            sol = solve_fn(mv, R, x0=x0, tol=solve_tol, maxiter=solve_iters,
-                           M=M) if solver == "bicgstab" else solve_fn(
-                               mv, R, x0=x0, tol=solve_tol, M=M)
+            if solver in ("bicgstab", "bicgstabl"):
+                sol = solve_fn(mv, R, x0=x0, tol=solve_tol,
+                               maxiter=solve_iters, M=M)
+            else:
+                sol = solve_fn(mv, R, x0=x0, tol=solve_tol, M=M)
             resolvent = cx.cdiv(CX(jnp.broadcast_to(wi.re, lam.shape),
                                    jnp.broadcast_to(wi.im, lam.shape)),
                                 CX(zi.re - lam.re, zi.im - lam.im))

@@ -140,3 +140,18 @@ def test_bicgstab_l():
     X = cx.to_numpy(out.x)
     assert np.linalg.norm(A @ X - B) / np.linalg.norm(B) < 1e-9
     assert int(out.iters) <= 10  # warm start pays off
+
+
+def test_feast_iterative_bicgstabl_solver():
+    rng = np.random.default_rng(0)
+    n = 300
+    L = sp.diags([np.full(n, 2.0), -np.ones(n - 1), -np.ones(n - 1)],
+                 [0, 1, -1], format="csr").astype(np.complex128)
+    X0 = _rand_c(rng, n, 24)
+    out = ft.feast_iterative(L, None, X0, c=0.02 + 0j, r=0.02, nodes=8,
+                             iters=20, tol=1e-9, solver="bicgstabl")
+    lam, _, r = out.filtered()
+    exact = 2.0 - 2.0 * np.cos(np.pi * np.arange(1, n + 1) / (n + 1))
+    want = np.sort(exact[(exact > 0.0) & (exact < 0.04)])
+    assert len(lam) == len(want)
+    assert r.max() < 1e-9
