@@ -332,6 +332,12 @@ def nlfeast_moments(T, X0, nodes: int = 16, iters: int = 10, *,
     Search space is K*m0 (block Hankel); only the residual-best m0 columns
     are refined per node solve.  Returns the full K*m0 sorted Ritz set
     (reference returns `Λ, Y, res`, nlfeast.jl:317).
+
+    Sizing note: like the reference, the two-tier stop accepts convergence
+    of the NON-SPURIOUS subset (nlfeast.jl:77-79), so with m0 below the
+    eigenvalue count the solver can return early with a partial set — keep
+    m0 >= expected count (K widens the search space, not the refinement
+    width).
     """
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     X = X0 if isinstance(X0, CX) else cx.from_numpy(np.asarray(X0), dtype)
