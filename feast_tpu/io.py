@@ -81,18 +81,26 @@ def read_matrix_market(path: str, out: str = "scipy"):
     import scipy.sparse as sp
 
     native = _native_mmio()
+    A = None
     if native is not None:
-        (nrows, ncols, nnz, field, symmetry, fmt,
-         rows_b, cols_b, re_b, im_b) = native.read(path)
-        rows = np.frombuffer(rows_b, dtype=np.int64)
-        cols = np.frombuffer(cols_b, dtype=np.int64)
-        re = np.frombuffer(re_b, dtype=np.float64)
-        im = (np.frombuffer(im_b, dtype=np.float64) if field == "complex"
-              else np.zeros_like(re))
-        rows, cols, re, im = _expand_symmetry(rows, cols, re, im, symmetry)
-        data = re + 1j * im
-        A = sp.coo_matrix((data, (rows, cols)), shape=(nrows, ncols)).tocsr()
-    else:  # scipy fallback
+        # fall back to scipy on ANY native parse/expand failure, not just a
+        # failed compile — a valid-but-unusual file must never become
+        # unreadable because the fast path rejects it (ADVICE r1).
+        try:
+            (nrows, ncols, nnz, field, symmetry, fmt,
+             rows_b, cols_b, re_b, im_b) = native.read(path)
+            rows = np.frombuffer(rows_b, dtype=np.int64)
+            cols = np.frombuffer(cols_b, dtype=np.int64)
+            re = np.frombuffer(re_b, dtype=np.float64)
+            im = (np.frombuffer(im_b, dtype=np.float64) if field == "complex"
+                  else np.zeros_like(re))
+            rows, cols, re, im = _expand_symmetry(rows, cols, re, im, symmetry)
+            data = re + 1j * im
+            A = sp.coo_matrix((data, (rows, cols)),
+                              shape=(nrows, ncols)).tocsr()
+        except Exception:
+            A = None
+    if A is None:  # scipy fallback
         from scipy.io import mmread
         m = mmread(path)
         A = sp.csr_matrix(m) if sp.issparse(m) else sp.csr_matrix(np.asarray(m))

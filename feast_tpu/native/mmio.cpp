@@ -35,10 +35,14 @@ static bool read_line(FILE* f, std::string& out) {
   out.clear();
   int c;
   while ((c = std::fgetc(f)) != EOF) {
-    if (c == '\n') return true;
+    if (c == '\n') break;
     out.push_back(static_cast<char>(c));
   }
-  return !out.empty();
+  // strip trailing CR so CRLF files tokenize identically to LF files
+  // (a trailing '\r' would otherwise stick to the last header token,
+  // e.g. symmetry == "general\r")
+  while (!out.empty() && out.back() == '\r') out.pop_back();
+  return c != EOF || !out.empty();
 }
 
 static const char* skip_ws(const char* p) {
@@ -97,7 +101,15 @@ static PyObject* mmio_read(PyObject* /*self*/, PyObject* args) {
         PyErr_SetString(PyExc_ValueError, "bad array size line");
         return nullptr;
       }
-      nnz = nrows * ncols;
+      // Array files with symmetry store only the lower triangle
+      // (column-major, column j holds rows j..n; skew-symmetric omits the
+      // diagonal), NOT nrows*ncols values — MatrixMarket spec section 3.
+      if (h.symmetry == "symmetric" || h.symmetry == "hermitian")
+        nnz = nrows * (nrows + 1) / 2;
+      else if (h.symmetry == "skew-symmetric")
+        nnz = nrows * (nrows - 1) / 2;
+      else
+        nnz = nrows * ncols;
     }
     break;
   }
@@ -113,8 +125,12 @@ static PyObject* mmio_read(PyObject* /*self*/, PyObject* args) {
   re.reserve(static_cast<size_t>(nnz));
   if (is_complex) im.reserve(static_cast<size_t>(nnz));
 
+  // array-format traversal state: column-major; symmetric/hermitian files
+  // store rows j..n of column j, skew-symmetric rows j+1..n, general rows 1..n
+  const bool arr_tri = !coord && h.symmetry != "general";
+  const bool arr_skew = !coord && h.symmetry == "skew-symmetric";
   long long count = 0;
-  long long arr_idx = 0;  // column-major position for array format
+  long long arr_i = arr_skew ? 2 : 1, arr_j = 1;  // 1-based cursor
   while (count < nnz && read_line(f, line)) {
     const char* p = skip_ws(line.c_str());
     if (*p == '%' || *p == '\0') continue;
@@ -126,12 +142,13 @@ static PyObject* mmio_read(PyObject* /*self*/, PyObject* args) {
       j = std::strtoll(p, &end, 10);
       p = end;
     } else {
-      // array format stores column-major dense values
-      i = arr_idx % nrows;
-      j = arr_idx / nrows;
-      ++arr_idx;
-      // 1-based convention below
-      ++i; ++j;
+      i = arr_i;
+      j = arr_j;
+      ++arr_i;
+      if (arr_i > nrows) {
+        ++arr_j;
+        arr_i = arr_tri ? (arr_skew ? arr_j + 1 : arr_j) : 1;
+      }
     }
     double vr = 1.0, vi = 0.0;
     if (!is_pattern) {

@@ -90,6 +90,11 @@ def _panel_lu(P: CX):
     m, b = P.shape
     rows = jnp.arange(m)
     eps = jnp.finfo(P.dtype).eps
+    # zero-pivot substitute scaled to the panel (LAPACK safe-minimum style):
+    # an absolute eps^2 either fails to bound multipliers (norm >> 1) or
+    # masks genuine pivots (norm << 1)
+    pscale = jnp.sqrt(jnp.max(cx.abs2(P)))
+    tiny = eps * jnp.maximum(pscale, jnp.finfo(P.dtype).tiny ** 0.5)
 
     def body(k, state):
         P, swaps = state
@@ -102,9 +107,9 @@ def _panel_lu(P: CX):
         col = _get_col(P, k)
         piv = _scalar(P, k, k)
         pmag2 = cx.abs2(piv)
-        # guard exact zero pivot: substitute a tiny value with pivot's phase
-        tiny = eps * eps
-        piv = cx.where(pmag2 > 0.0, piv, cx.as_cx(complex(1.0, 0.0), P.dtype) * tiny)
+        # guard exact zero pivot: substitute a panel-scaled tiny value
+        piv = cx.where(pmag2 > 0.0, piv,
+                       CX(jnp.full((), tiny, P.dtype), jnp.zeros((), P.dtype)))
         inv = cx.creciprocal(piv)
         below = rows > k
         mult = cx.where(below, col * inv, col)
@@ -166,6 +171,8 @@ def _upper_solve_small(U: CX, B: CX) -> CX:
     b = U.shape[0]
     cols = jnp.arange(b)
     eps = jnp.finfo(U.dtype).eps
+    uscale = jnp.sqrt(jnp.max(cx.abs2(U)))
+    tiny = eps * jnp.maximum(uscale, jnp.finfo(U.dtype).tiny ** 0.5)
 
     def body(t, B):
         i = b - 1 - t
@@ -176,7 +183,8 @@ def _upper_solve_small(U: CX, B: CX) -> CX:
                  rowUm.re @ B.im + rowUm.im @ B.re)
         d = _scalar(U, i, i)
         dmag2 = cx.abs2(d)
-        d = cx.where(dmag2 > 0.0, d, cx.as_cx(1.0, U.dtype) * (eps * eps))
+        d = cx.where(dmag2 > 0.0, d,
+                     CX(jnp.full((), tiny, U.dtype), jnp.zeros((), U.dtype)))
         rowB = _get_row(B, i)
         new = cx.cdiv(rowB - num, CX(jnp.broadcast_to(d.re, rowB.shape),
                                      jnp.broadcast_to(d.im, rowB.shape)))

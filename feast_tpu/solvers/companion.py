@@ -27,12 +27,18 @@ class CompanionResult(NamedTuple):
     res: jax.Array
 
 
-def companion(coeffs: Sequence) -> CompanionResult:
+def companion(coeffs: Sequence, method: str = "auto") -> CompanionResult:
     """Full dense solve of the polynomial EVP via companion pencil.
 
     coeffs: [A_1, ..., A_{L+1}] with P(z) = sum_j A_j z^(j-1)
     (matches the reference's 1-based convention, companion.jl:19-26).
     Returns all N*L eigenpairs with relative residuals.
+
+    method: "lu" reduces via C2^{-1} C1 (fast; needs a nonsingular leading
+    coefficient A_{L+1}), "qz" runs the full QZ kernel (handles singular
+    A_{L+1} — infinite eigenvalues come out as huge lam = alpha/beta, the
+    ggev convention the reference gets from LAPACK, companion.jl:15);
+    "auto" picks QZ when cond(A_{L+1}) indicates (near-)singularity.
     """
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     mats = [np.asarray(A, dtype=np.complex128) for A in coeffs]
@@ -47,7 +53,21 @@ def companion(coeffs: Sequence) -> CompanionResult:
         C2[i, i - N] = 1.0
     for i in range(L):
         C2[:N, N * i:N * (i + 1)] = -mats[i + 1]
-    lam, V = eigmod.gen_eig(cx.from_numpy(C1, dtype), cx.from_numpy(C2, dtype))
+    if method == "auto":
+        # host-side singularity check of the leading coefficient (tiny SVD)
+        s = np.linalg.svd(mats[-1], compute_uv=False)
+        cond = s[0] / s[-1] if s[-1] > 0 else np.inf
+        method = "qz" if cond > 1.0 / np.sqrt(np.finfo(np.float64).eps) \
+            else "lu"
+    if method == "qz":
+        from ..ops import qz as qzmod
+
+        alpha, beta, V = qzmod.gen_eig_qz(cx.from_numpy(C1, dtype),
+                                          cx.from_numpy(C2, dtype))
+        lam = cx.cdiv(alpha, beta)
+    else:
+        lam, V = eigmod.gen_eig(cx.from_numpy(C1, dtype),
+                                cx.from_numpy(C2, dtype))
     # eigenvectors from the last block row (companion.jl:16)
     X = CX(V.re[(L - 1) * N:, :], V.im[(L - 1) * N:, :])
     X = cx.normalize_cols(X)

@@ -137,6 +137,23 @@ def _rayleigh_ritz(Q: CX, A: CX, B: Optional[CX], pencil: str = "lu"):
     return lam, X, R, res
 
 
+def _resolvent(wi: CX, zi: CX, lam: CX) -> CX:
+    """w_i / (z_i - lam) with a relative floor on the denominator: a Ritz
+    value landing EXACTLY on a quadrature node (possible for synthetic
+    spectra, e.g. diag(1..n) with a node forced onto an integer) must give
+    a huge-but-finite term, not inf*0 -> NaN."""
+    den = CX(zi.re - lam.re, zi.im - lam.im)
+    den2 = cx.abs2(den)
+    eps = jnp.finfo(lam.re.dtype).eps
+    floor = eps * jnp.maximum(jnp.sqrt(cx.abs2(zi)), 1.0)
+    safe = cx.where(den2 >= floor * floor, den,
+                    CX(jnp.broadcast_to(floor, den.shape),
+                       jnp.zeros_like(den.re)))
+    num = CX(jnp.broadcast_to(wi.re, lam.shape),
+             jnp.broadcast_to(wi.im, lam.shape))
+    return cx.cdiv(num, safe)
+
+
 def _node_update(LUb, permb, z: CX, w: CX, X: CX, R: CX, lam: CX,
                  solve_dtype=None, Sb=None, refine: int = 2) -> CX:
     """RII update: Q = sum_i (X - S_i^{-1} R) diag(w_i/(z_i - lam)).
@@ -162,10 +179,7 @@ def _node_update(LUb, permb, z: CX, w: CX, X: CX, R: CX, lam: CX,
                     corr = lumod.lu_solve(LU, perm, resid.astype(solve_dtype))
                     temp = temp + corr.astype(X.dtype)
         diff = X - temp
-        resolvent = cx.cdiv(CX(jnp.broadcast_to(wi.re, lam.shape),
-                               jnp.broadcast_to(wi.im, lam.shape)),
-                            CX(zi.re - lam.re, zi.im - lam.im))
-        return cx.scale_cols(diff, resolvent)
+        return cx.scale_cols(diff, _resolvent(wi, zi, lam))
 
     if Sb is not None and mixed:
         terms = jax.vmap(one_node)(LUb, permb, z, w, Sb)
@@ -218,14 +232,29 @@ def _step_post(Qo: CX, A: CX, B, lam: CX, Xq: CX, LUb, permb, Sb,
     return Qn, lam, X, res, inside
 
 
-def _host_eig(Aq: CX, Bq):
+def _host_eig(Aq: CX, Bq, pencil: str = "lu"):
     """m0 x m0 reduced eig on host LAPACK — optional latency optimization
     for remote-TPU setups (the heavy O(n^2 m0) / O(n^3) work stays on
-    device; this only round-trips an m0 x m0 matrix)."""
+    device; this only round-trips an m0 x m0 matrix).
+
+    Honors the pencil strategy: "hermitian" runs LAPACK (z)heev/hegv on the
+    hermitized projection (same semantics as the device eigh path);
+    "lu"/"qz" both go through LAPACK (z)geev/ggev — ggev IS the QZ
+    algorithm, so the robust reduction the user asked for is preserved."""
     import numpy as _np
 
     a = cx.to_numpy(Aq)
-    if Bq is None:
+    if pencil == "hermitian":
+        a = (a + a.conj().T) / 2
+        if Bq is None:
+            lam, V = _np.linalg.eigh(a)
+        else:
+            import scipy.linalg as _sla
+
+            b = cx.to_numpy(Bq)
+            lam, V = _sla.eigh(a, (b + b.conj().T) / 2)
+        lam = lam.astype(_np.complex128)
+    elif Bq is None:
         lam, V = _np.linalg.eig(a)
     else:
         import scipy.linalg as _sla
@@ -252,10 +281,28 @@ def _in_mask(lam: CX, kind: str, params):
                      "(custom contours: supply in_mask yourself)")
 
 
+def validate_dims(A, B, X, what: str = "feast"):
+    """Driver-entry shape validation (the reference errors on mismatched
+    dims at feast.jl:13-17 / beyn.jl:5-9; without this a bad shape fails
+    deep inside jit with an opaque error)."""
+    n = A.shape[0]
+    if A.shape[0] != A.shape[1]:
+        raise ValueError(f"{what}: A must be square, got {tuple(A.shape)}")
+    if B is not None and tuple(B.shape) != tuple(A.shape):
+        raise ValueError(f"{what}: B shape {tuple(B.shape)} != A shape "
+                         f"{tuple(A.shape)}")
+    if X.ndim != 2 or X.shape[0] != n:
+        raise ValueError(f"{what}: X0 must be (n, m0) with n={n}, got "
+                         f"{tuple(X.shape)}")
+    if X.shape[1] > n:
+        raise ValueError(f"{what}: subspace m0={X.shape[1]} exceeds n={n}")
+
+
 def _prepare(A, B, X0, contour, c, r, nodes, dtype):
     A = _as_cx_matrix(A, dtype)
     B = None if B is None else _as_cx_matrix(B, dtype)
     X = _as_cx_matrix(X0, dtype)
+    validate_dims(A, B, X)
     if contour is None:
         contour = ct.circular_contour_trapezoidal(complex(c), float(r), int(nodes))
     z = contour.device_nodes(dtype)
@@ -343,7 +390,7 @@ def _drive(A, B, X0, contour, c, r, nodes, iters, tol, store,
         n_iter = nit
         if rr == "host":
             Qo, Aq, Bq = _step_pre(Q, A, B, ortho)
-            lam_h, Xq_h = _host_eig(Aq, Bq)
+            lam_h, Xq_h = _host_eig(Aq, Bq, pencil)
             if not store:
                 LUb, permb = jax.jit(lumod.lu_factor_batched)(
                     Sb_pass.astype(jnp.float32) if solve_f32 else Sb_pass)
@@ -404,27 +451,36 @@ class DualFeastResult(NamedTuple):
                 cx.to_numpy(self.Xl)[:, mask], np.asarray(self.res)[mask])
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "params",))
-def _dual_step(Qr: CX, Ql: CX, A: CX, B: CX, LUr, permr, LUl, perml,
-               z: CX, w: CX, kind: str, params):
+@jax.jit
+def _dual_pre(Qr: CX, Ql: CX, A: CX, B: CX):
+    """Bi-orthonormalize + build the oblique reduced pencil.
+
+    SVD of Ql^H B Qr (feast.jl:199-201) with S^{-1/2} applied on both sides
+    so Ql^H B Qr = I exactly."""
     from ..ops import svd as svdmod
 
-    # bi-orthonormalization via SVD of Ql^H B Qr (feast.jl:199-201);
-    # we use S^{-1/2} on both sides so Ql^H B Qr = I exactly.
     M = cx.cmatmul(Ql.H, cx.cmatmul(B, Qr))
     U, s, Vh = svdmod.svd(M)
     eps = jnp.finfo(s.dtype).eps
     s_inv_sqrt = 1.0 / jnp.sqrt(jnp.maximum(s, eps * jnp.maximum(s[0], 1.0)))
     Qr = cx.scale_cols(cx.cmatmul(Qr, Vh.H), cx.CX(s_inv_sqrt, jnp.zeros_like(s)))
     Ql = cx.scale_cols(cx.cmatmul(Ql, U), cx.CX(s_inv_sqrt, jnp.zeros_like(s)))
-    # oblique Rayleigh-Ritz
     Aq = cx.cmatmul(Ql.H, cx.cmatmul(A, Qr))
     Bq = cx.cmatmul(Ql.H, cx.cmatmul(B, Qr))
-    lam, Xq = eigmod.gen_eig(Aq, Bq)
-    # left reduced vectors PAIRED with lam: W^H Aq = lam W^H Bq has the
-    # closed form W = Bq^{-H} (Xq^{-1})^H (the reference solves the adjoint
-    # pencil separately, feast.jl:206-212, which returns the columns in an
-    # unrelated order — harmless for the subspace, wrong for pairing).
+    return Qr, Ql, Aq, Bq
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "params", "store",
+                                             "solve_f32"))
+def _dual_post(Qr: CX, Ql: CX, A: CX, B: CX, Bq: CX, lam: CX, Xq: CX,
+               LUr, permr, LUl, perml, Sbr, Sbl, z: CX, w: CX,
+               kind: str, params, store: bool, solve_f32: bool):
+    """Ritz recovery + residuals + the two-sided node update.
+
+    Left reduced vectors PAIRED with lam: W^H Aq = lam W^H Bq has the
+    closed form W = Bq^{-H} (Xq^{-1})^H (the reference solves the adjoint
+    pencil separately, feast.jl:206-212, which returns the columns in an
+    unrelated order — harmless for the subspace, wrong for pairing)."""
     m0q = Xq.shape[0]
     Xq_inv = lumod.solve(Xq, cx.eye(m0q, Xq.dtype))
     LUbq, permbq = lumod.lu_factor(Bq.H)
@@ -435,50 +491,78 @@ def _dual_step(Qr: CX, Ql: CX, A: CX, B: CX, LUr, permr, LUl, perml,
     Rl = cx.cmatmul(A.H, Xl) - cx.scale_cols(cx.cmatmul(B.H, Xl), lam.conj())
     res = cx.col_norms(Rr)
     inside = _in_mask(lam, kind, params)
-
-    def one_node(LUri, permri, LUli, permli, zi, wi):
-        tr = lumod.lu_solve(LUri, permri, Rr)
-        rr = cx.cdiv(CX(jnp.broadcast_to(wi.re, lam.shape),
-                        jnp.broadcast_to(wi.im, lam.shape)),
-                     CX(zi.re - lam.re, zi.im - lam.im))
-        termr = cx.scale_cols(Xr - tr, rr)
-        tl = lumod.lu_solve(LUli, permli, Rl)
-        zlc = CX(zi.re, -zi.im)
-        wlc = CX(wi.re, -wi.im)
-        rl = cx.cdiv(CX(jnp.broadcast_to(wlc.re, lam.shape),
-                        jnp.broadcast_to(wlc.im, lam.shape)),
-                     CX(zlc.re - lam.re, zlc.im + lam.im))
-        terml = cx.scale_cols(Xl - tl, rl)
-        return termr, terml
-
-    termr, terml = jax.vmap(one_node)(LUr, permr, LUl, perml, z, w)
-    Qr_new = CX(jnp.sum(termr.re, axis=0), jnp.sum(termr.im, axis=0))
-    Ql_new = CX(jnp.sum(terml.re, axis=0), jnp.sum(terml.im, axis=0))
+    if not store:
+        LUr, permr = lumod.lu_factor_batched(
+            Sbr.astype(jnp.float32) if solve_f32 else Sbr)
+        LUl, perml = lumod.lu_factor_batched(
+            Sbl.astype(jnp.float32) if solve_f32 else Sbl)
+    solve_dtype = jnp.float32 if solve_f32 else None
+    Sbr_ref = Sbr if (solve_f32 and Sbr.re.ndim == 3) else None
+    Sbl_ref = Sbl if (solve_f32 and Sbl.re.ndim == 3) else None
+    zl, wl, laml = z.conj(), w.conj(), lam.conj()
+    Qr_new = _node_update(LUr, permr, z, w, Xr, Rr, lam, solve_dtype, Sbr_ref)
+    Ql_new = _node_update(LUl, perml, zl, wl, Xl, Rl, laml, solve_dtype,
+                          Sbl_ref)
     return Qr_new, Ql_new, lam, Xr, Xl, res, inside
 
 
 def dual_gen_feast(A, B, Xr0, Xl0, contour: Optional[ct.Contour] = None, *,
                    c: complex = 0.0 + 0.0j, r: float = 1.0, nodes: int = 8,
-                   iters: int = 10, tol: float = 1e-12,
+                   iters: int = 10, tol: float = 1e-12, store: bool = True,
+                   mixed_prec: bool = False, rr: str = "device", mesh=None,
                    debug: bool = False) -> DualFeastResult:
     """Two-sided generalized FEAST (dual_gen_feast!, feast.jl:158-257):
     refines right and left subspaces, node solves with A - zB and its
-    adjoint (2x solve cost), SVD bi-orthonormalization each iteration."""
+    adjoint (2x solve cost), SVD bi-orthonormalization each iteration.
+
+    Full option parity with `feast`/`gen_feast` (the reference threads
+    `store` through both factorization sets, feast.jl:190-195):
+    store=False refactors per iteration (memory-lean), mixed_prec runs f32
+    LU + f64 iterative refinement, rr="host" does the m0 x m0 oblique eig
+    on host LAPACK, mesh shards the node axis of both factorizations."""
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     A, B, Qr, contour, z, w = _prepare(A, B, Xr0, contour, c, r, nodes, dtype)
     Ql = _as_cx_matrix(Xl0, dtype)
+    validate_dims(A, B, Ql, "dual_gen_feast(left)")
+    solve_f32 = bool(mixed_prec)
     Sb = _shifted_batch(A, B, z)
-    LUr, permr = jax.jit(lumod.lu_factor_batched)(Sb)
     Sb_l = CX(jnp.swapaxes(Sb.re, -1, -2), -jnp.swapaxes(Sb.im, -1, -2))
-    LUl, perml = jax.jit(lumod.lu_factor_batched)(Sb_l)
+    if mesh is not None:
+        from ..parallel import mesh as pmesh
+        Sb = pmesh.shard_nodes(Sb, mesh)
+        Sb_l = pmesh.shard_nodes(Sb_l, mesh)
+        z = pmesh.shard_nodes(z, mesh)
+        w = pmesh.shard_nodes(w, mesh)
+        A = pmesh.replicate(A, mesh)
+        B = pmesh.replicate(B, mesh)
+        Qr = pmesh.replicate(Qr, mesh)
+        Ql = pmesh.replicate(Ql, mesh)
+    if store:
+        LUr, permr = jax.jit(lumod.lu_factor_batched)(
+            Sb.astype(jnp.float32) if solve_f32 else Sb)
+        LUl, perml = jax.jit(lumod.lu_factor_batched)(
+            Sb_l.astype(jnp.float32) if solve_f32 else Sb_l)
+    else:
+        LUr = LUl = CX(jnp.zeros((0,)), jnp.zeros((0,)))
+        permr = perml = jnp.zeros((0,), jnp.int32)
+    if solve_f32 or not store:
+        Sbr_pass, Sbl_pass = Sb, Sb_l
+    else:
+        Sbr_pass = Sbl_pass = CX(jnp.zeros((0,)), jnp.zeros((0,)))
 
     lam = Xr = Xl = res = inside = None
     n_iter, converged = 0, False
     for nit in range(iters + 1):
         n_iter = nit
-        Qrn, Qln, lam, Xr, Xl, res, inside = _dual_step(
-            Qr, Ql, A, B, LUr, permr, LUl, perml, z, w,
-            contour.kind, contour.params)
+        Qrb, Qlb, Aq, Bq = _dual_pre(Qr, Ql, A, B)
+        if rr == "host":
+            lam_i, Xq_i = _host_eig(Aq, Bq)
+        else:
+            lam_i, Xq_i = eigmod.gen_eig(Aq, Bq)
+        Qrn, Qln, lam, Xr, Xl, res, inside = _dual_post(
+            Qrb, Qlb, A, B, Bq, lam_i, Xq_i, LUr, permr, LUl, perml,
+            Sbr_pass, Sbl_pass, z, w, contour.kind, contour.params,
+            bool(store), solve_f32)
         res_h, inside_h = np.asarray(res), np.asarray(inside)
         if debug:
             _debug_print(nit, lam, res_h, inside_h)
@@ -496,10 +580,11 @@ def dual_gen_feast(A, B, Xr0, Xl0, contour: Optional[ct.Contour] = None, *,
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("kind", "params", "ortho",
-                                             "iters", "tol", "solve_f32"))
+                                             "iters", "tol", "solve_f32",
+                                             "pencil"))
 def _feast_compiled(Q: CX, A: CX, B, LUb, permb, Sb, z: CX, w: CX,
                     kind: str, params, ortho: str, iters: int, tol: float,
-                    solve_f32: bool = False):
+                    solve_f32: bool = False, pencil: str = "lu"):
     """The whole refinement loop as ONE compiled while_loop — no host
     synchronization until the final result.  This is the real-hardware
     production path (the python-loop driver syncs m0-sized data per
@@ -510,7 +595,7 @@ def _feast_compiled(Q: CX, A: CX, B, LUb, permb, Sb, z: CX, w: CX,
 
     def step(Q):
         Qo = qrmod.orthonormalize(Q, method=ortho)
-        lam, X, R, res = _rayleigh_ritz(Qo, A, B)
+        lam, X, R, res = _rayleigh_ritz(Qo, A, B, pencil)
         inside = _in_mask(lam, kind, params)
         Qn = _node_update(LUb, permb, z, w, X, R, lam, solve_dtype, Sb_ref)
         return Qn, lam, X, res, inside
@@ -538,12 +623,16 @@ def feast_compiled(A, X0, contour: Optional[ct.Contour] = None, *,
                    c: complex = 0.0 + 0.0j, r: float = 1.0, nodes: int = 8,
                    iters: int = 10, tol: float = 1e-12,
                    ortho: str = "cholqr2", B=None, mesh=None,
-                   mixed_prec: bool = False) -> FeastResult:
+                   mixed_prec: bool = False, pencil: str = "lu",
+                   hermitian: bool = False) -> FeastResult:
     """feast/gen_feast with the entire refinement loop in one jit.
 
     Semantics match `feast`/`gen_feast` with store=True; convergence is
     decided on device (masked), so nothing touches the host until the
-    result is read."""
+    result is read.  pencil/hermitian select the Rayleigh-Ritz reduction
+    exactly as in `feast`/`gen_feast`."""
+    if hermitian:
+        pencil = "hermitian"
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     A, B, Q, contour, z, w = _prepare(A, B, X0, contour, c, r, nodes, dtype)
     Sb = _shifted_batch(A, B, z)
@@ -561,5 +650,5 @@ def feast_compiled(A, X0, contour: Optional[ct.Contour] = None, *,
     Sb_pass = Sb if mixed_prec else CX(jnp.zeros((0,)), jnp.zeros((0,)))
     lam, X, res, inside, it, done = _feast_compiled(
         Q, A, B, LUb, permb, Sb_pass, z, w, contour.kind, contour.params,
-        ortho, int(iters), float(tol), bool(mixed_prec))
+        ortho, int(iters), float(tol), bool(mixed_prec), pencil)
     return FeastResult(lam, X, res, inside, int(it), bool(done))

@@ -177,10 +177,8 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
                                maxiter=solve_iters, M=M)
             else:
                 sol = solve_fn(mv, R, x0=x0, tol=solve_tol, M=M)
-            resolvent = cx.cdiv(CX(jnp.broadcast_to(wi.re, lam.shape),
-                                   jnp.broadcast_to(wi.im, lam.shape)),
-                                CX(zi.re - lam.re, zi.im - lam.im))
-            return cx.scale_cols(Xn - sol.x, resolvent), sol.x
+            from .feast import _resolvent
+            return cx.scale_cols(Xn - sol.x, _resolvent(wi, zi, lam)), sol.x
 
         terms, warm_new = jax.vmap(one_node)(z, w, warm)
         Qn = CX(jnp.sum(terms.re, 0), jnp.sum(terms.im, 0))

@@ -214,3 +214,69 @@ def test_stochastic_count_1000_laplacian():
     true = ((exact > 0.0) & (exact < 0.02)).sum()
     est = ft.contour_estimate_eig(L, k, samples=100, seed=3)
     assert abs(est - true) <= max(3, 0.3 * true)
+
+
+def test_dual_gen_feast_option_matrix(diag25):
+    """dual_gen_feast option parity (ref feast.jl:190-195 threads store
+    through both factorization sets): store=False, mixed_prec, rr="host"
+    must all converge to the same eigenvalues."""
+    A, X0 = diag25
+    B = np.eye(25, dtype=np.complex128)
+    for kw in ({"store": False}, {"mixed_prec": True}, {"rr": "host"}):
+        out = dual_gen_feast(A, B, X0, X0.copy(), c=1.5 + 0j, r=2.0,
+                             nodes=8, tol=1e-10, **kw)
+        lam, _, _, res = out.filtered()
+        np.testing.assert_allclose(np.sort(lam.real), [1.0, 2.0, 3.0],
+                                   atol=1e-8, err_msg=str(kw))
+        assert res.max() < 1e-10, kw
+
+
+def test_feast_compiled_hermitian_pencil():
+    """feast_compiled must honor pencil/hermitian (previously silently
+    dropped — VERDICT r1)."""
+    from feast_tpu.solvers import feast_compiled
+
+    rng = np.random.default_rng(3)
+    n = 40
+    A = rng.standard_normal((n, n))
+    A = (A + A.T) / 2 + np.diag(np.arange(n, dtype=float))
+    A = A.astype(np.complex128)
+    X0 = (rng.standard_normal((n, 8))
+          + 1j * rng.standard_normal((n, 8)))
+    ref = np.linalg.eigvalsh(A)
+    c = complex(ref[2] + ref[3]) / 2
+    r = float(ref[3] - ref[2]) * 1.2
+    out = feast_compiled(A, X0, c=c, r=r, nodes=8, tol=1e-10,
+                         hermitian=True)
+    lam, _, res = out.filtered()
+    want = ref[(np.abs(ref - c) <= r)]
+    np.testing.assert_allclose(np.sort(lam.real), np.sort(want), atol=1e-8)
+    assert res.max() < 1e-10
+
+
+def test_host_rr_honors_hermitian_pencil(diag25):
+    """rr="host" with hermitian pencil runs LAPACK eigh — eigenvalues must
+    come out real and converged (previously fell back to generic eig)."""
+    A, X0 = diag25
+    out = feast(A, X0, c=1.5 + 0j, r=2.0, nodes=8, tol=1e-10,
+                rr="host", hermitian=True)
+    lam, _, res = out.filtered()
+    np.testing.assert_allclose(np.sort(lam.real), [1.0, 2.0, 3.0], atol=1e-9)
+    assert res.max() < 1e-10
+
+
+def test_dimension_validation():
+    """Driver entry rejects mismatched shapes with a clear error
+    (reference errors at feast.jl:13-17)."""
+    import pytest
+
+    A = np.eye(10, dtype=np.complex128)
+    X0 = np.ones((8, 3), dtype=np.complex128)  # wrong row count
+    with pytest.raises(ValueError, match="X0 must be"):
+        feast(A, X0, c=0.5, r=1.0)
+    with pytest.raises(ValueError, match="B shape"):
+        gen_feast(A, np.eye(9, dtype=np.complex128),
+                  np.ones((10, 3), dtype=np.complex128), c=0.5, r=1.0)
+    with pytest.raises(ValueError, match="square"):
+        feast(np.ones((4, 5), dtype=np.complex128),
+              np.ones((4, 2), dtype=np.complex128), c=0.5, r=1.0)

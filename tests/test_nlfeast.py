@@ -320,3 +320,44 @@ def test_nlfeast_rectangular_contour(generic_quadratic):
     assert len(lam) == len(want)
     np.testing.assert_allclose(np.sort_complex(lam), want, atol=1e-7)
     assert r.max() < 1e-11
+
+
+def test_companion_singular_leading_coefficient():
+    """Singular leading coefficient A_{L+1}: the LU reduction C2^{-1} C1 is
+    invalid (C2 singular); companion(method="auto") must switch to QZ and
+    return the correct FINITE eigenvalues (infinite ones come out huge, the
+    ggev alpha/beta convention).  Validated against scipy.linalg.eig on the
+    same companion pencil (ADVICE r1)."""
+    import scipy.linalg as sla
+
+    rng = np.random.default_rng(17)
+    n = 8
+    A0 = rng.standard_normal((n, n)).astype(np.complex128)
+    A1 = rng.standard_normal((n, n)).astype(np.complex128)
+    A2 = rng.standard_normal((n, n)).astype(np.complex128)
+    A2[:, -2:] = 0.0  # rank n-2 leading coefficient -> 2 infinite eigenvalues
+    out = ft.companion([A0, A1, A2])
+    lam = np.asarray(out.lam.re) + 1j * np.asarray(out.lam.im)
+
+    # scipy ground truth on the same linearization
+    NL = 2 * n
+    C1 = np.zeros((NL, NL), dtype=np.complex128)
+    C2 = np.zeros((NL, NL), dtype=np.complex128)
+    C1[:n, :n] = A0
+    for i in range(n, NL):
+        C1[i, i] = 1.0
+        C2[i, i - n] = 1.0
+    C2[:n, :n] = -A1
+    C2[:n, n:] = -A2
+    ref = sla.eigvals(C1, C2)
+    ref_fin = ref[np.isfinite(ref) & (np.abs(ref) < 1e6)]
+    finite_mask = np.isfinite(lam) & (np.abs(lam) < 1e6)
+    got_fin = lam[finite_mask]
+    assert len(got_fin) == len(ref_fin)
+    # set comparison (conjugate pairs order differently under sort_complex)
+    dist = np.abs(got_fin[:, None] - ref_fin[None, :])
+    assert dist.min(axis=1).max() < 1e-7
+    assert dist.min(axis=0).max() < 1e-7
+    # finite eigenpairs have small residuals
+    res = np.asarray(out.res)
+    assert res[finite_mask].max() < 1e-7
