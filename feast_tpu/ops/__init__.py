@@ -1,1 +1,1 @@
-from . import eig, eigh, krylov, lu, qr, qz, sparse, svd
+from . import amg, eig, eigh, krylov, lu, qr, qz, sparse, svd

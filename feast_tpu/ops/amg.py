@@ -1,0 +1,314 @@
+"""Smoothed-aggregation AMG preconditioner for shifted sparse solves.
+
+This is the framework's replacement for the reference's sparse direct path
+(SuiteSparse UMFPACK, engaged automatically for SparseMatrixCSC inputs —
+/root/reference/test/generalized_feast.jl:7-24, UMFPACK controls at
+/root/reference/test/gun2.jl:4-6).  A sparse LU is the wrong primitive on
+TPU (sequential, irregular); the TPU-native path is **preconditioned
+batched Krylov** (ops/krylov.py) — and plain Jacobi preconditioning stalls
+on the hard FEAST regime (slice near the spectrum edge: kappa(A - zB) can
+exceed 1e8 for a 100k-dof Laplacian's lowest slice).  The fix is a real
+multilevel preconditioner.
+
+Key structural insight that makes this TPU-friendly: the AMG hierarchy is
+**shift-independent**.  Galerkin-coarsen A and B separately once on host
+(P^H A P, P^H B P per level); then for every quadrature node z the level
+operator is S_l(z) = A_l - z B_l — an ELEMENTWISE combination on a shared
+(union) sparsity pattern, done on device in O(nnz).  The per-node coarsest
+matrix is dense and tiny, so its LU batches over the contour-node axis like
+every other dense factorization in the framework (ops/lu.py vmap).
+
+  * setup (host, numpy/scipy, runs once): strength graph -> greedy
+    aggregation (Vanek-style) -> tentative P (piecewise constant,
+    column-normalized) -> optional Jacobi smoothing P=(I-w D^-1 A)P_t ->
+    Galerkin products; all levels stored on the UNION pattern of (A_l, B_l)
+    so the shift never changes sparsity;
+  * apply (device, jit/vmap-safe): V-cycle with damped-Jacobi smoothing,
+    CSR SpMM restriction/prolongation (gather+segment_sum like
+    ops/sparse.CSR.matvec), dense guarded-pivot LU on the coarsest level.
+
+Used through `shifted_preconditioner(amg, z)` -> a callable M suitable for
+the `M=` hook of every solver in ops/krylov.py, and wired into
+`feast_iterative(..., precondition="amg")`.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import cx
+from ..cx import CX
+
+
+class AMGLevel(NamedTuple):
+    """One hierarchy level.  All arrays are device-resident; static shapes
+    carry the level sizes (segment_sum num_segments comes from dA.shape)."""
+
+    # union-pattern CSR of A_l and B_l (same indices/rows for both)
+    indices: jax.Array   # (nnz,) int32 column ids
+    row_ids: jax.Array   # (nnz,) int32 row ids
+    Adata: CX            # (nnz,)
+    Bdata: CX            # (nnz,)
+    dA: CX               # (n,) diagonal of A_l
+    dB: CX               # (n,) diagonal of B_l
+    # prolongation P: (n, nc) and restriction R = P^H: (nc, n)
+    P_indices: jax.Array
+    P_row_ids: jax.Array
+    P_data: CX
+    R_indices: jax.Array
+    R_row_ids: jax.Array
+    R_data: CX
+
+
+class AMG(NamedTuple):
+    levels: Tuple[AMGLevel, ...]
+    Ac: CX  # coarsest-level dense A
+    Bc: CX  # coarsest-level dense B
+
+
+# ---------------------------------------------------------------------------
+# host-side setup
+# ---------------------------------------------------------------------------
+
+def _aggregate(A, theta: float) -> Tuple[np.ndarray, int]:
+    """Vanek-style greedy aggregation on the strength graph of A.
+
+    strength: |a_ij| >= theta * sqrt(|a_ii| |a_jj|)  (symmetrized).
+    Returns (agg_id per node, n_aggregates)."""
+    import scipy.sparse as sp
+
+    n = A.shape[0]
+    Aa = sp.csr_matrix(abs(A))
+    Aa = Aa.maximum(Aa.T)  # symmetrize strength
+    d = np.sqrt(np.maximum(Aa.diagonal(), 1e-300))
+    # strong connections: strip weak off-diagonals
+    C = sp.csr_matrix(Aa, copy=True)
+    C.data = (C.data >= theta * d[_csr_rows(C)] * d[C.indices]).astype(
+        np.float64)
+    C.setdiag(0.0)
+    C.eliminate_zeros()
+    C = C.tocsr()
+
+    agg = np.full(n, -1, dtype=np.int64)
+    n_agg = 0
+    indptr, indices = C.indptr, C.indices
+    # pass 1: seed aggregates from nodes whose strong neighborhood is free
+    for i in range(n):
+        if agg[i] >= 0:
+            continue
+        nbrs = indices[indptr[i]:indptr[i + 1]]
+        if (agg[nbrs] >= 0).any():
+            continue
+        agg[i] = n_agg
+        agg[nbrs] = n_agg
+        n_agg += 1
+    # pass 2: attach remaining nodes to a neighboring aggregate
+    for i in range(n):
+        if agg[i] >= 0:
+            continue
+        nbrs = indices[indptr[i]:indptr[i + 1]]
+        placed = nbrs[agg[nbrs] >= 0]
+        if placed.size:
+            agg[i] = agg[placed[0]]
+    # pass 3: leftover isolated nodes become singletons
+    for i in range(n):
+        if agg[i] < 0:
+            agg[i] = n_agg
+            n_agg += 1
+    return agg, n_agg
+
+
+def _csr_rows(A) -> np.ndarray:
+    return np.repeat(np.arange(A.shape[0]), np.diff(A.indptr))
+
+
+def _union_pair(A, B):
+    """Re-express sparse A and B on their union pattern (identical
+    indices/indptr) so A - z*B is elementwise on device.
+
+    scipy's csr addition prunes exact-zero results, so the union is built
+    explicitly via sorted (row, col) keys."""
+    import scipy.sparse as sp
+
+    A = sp.csr_matrix(A).sorted_indices()
+    B = sp.csr_matrix(B).sorted_indices()
+    n, m = A.shape
+
+    def keys(M):
+        return _csr_rows(M).astype(np.int64) * m + M.indices.astype(np.int64)
+
+    ka, kb = keys(A), keys(B)
+    ku = np.union1d(ka, kb)  # sorted unique keys = union pattern
+    adata = np.zeros(ku.size, dtype=np.complex128)
+    bdata = np.zeros(ku.size, dtype=np.complex128)
+    adata[np.searchsorted(ku, ka)] = A.data
+    bdata[np.searchsorted(ku, kb)] = B.data
+    rows = (ku // m).astype(np.int64)
+    cols = (ku % m).astype(np.int64)
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, rows + 1, 1)
+    indptr = np.cumsum(indptr)
+    Au = sp.csr_matrix((adata, cols, indptr), shape=(n, m))
+    Bu = sp.csr_matrix((bdata, cols, indptr), shape=(n, m))
+    return Au, Bu
+
+
+def _to_cx_data(data: np.ndarray, dtype) -> CX:
+    data = np.asarray(data, dtype=np.complex128)
+    return CX(jnp.asarray(data.real, dtype), jnp.asarray(data.imag, dtype))
+
+
+def build_amg(A, B=None, *, theta: float = 0.08, omega: float = 2.0 / 3.0,
+              smooth: bool = True, max_coarse: int = 600,
+              max_levels: int = 20, dtype=None) -> AMG:
+    """Build the shift-independent hierarchy from scipy-sparse (or dense)
+    A and optional B (defaults to identity).  Host-side; returns device
+    arrays ready for `shifted_preconditioner`."""
+    import scipy.sparse as sp
+
+    dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64
+                      else jnp.float32)
+    A_l = sp.csr_matrix(A).astype(np.complex128)
+    n = A_l.shape[0]
+    B_l = (sp.identity(n, dtype=np.complex128, format="csr") if B is None
+           else sp.csr_matrix(B).astype(np.complex128))
+
+    levels = []
+    for _ in range(max_levels):
+        if A_l.shape[0] <= max_coarse:
+            break
+        agg, n_agg = _aggregate(A_l, theta)
+        if n_agg >= A_l.shape[0]:  # aggregation stalled: stop coarsening
+            break
+        # tentative prolongation: piecewise constant, unit columns
+        sizes = np.bincount(agg, minlength=n_agg).astype(np.float64)
+        vals = 1.0 / np.sqrt(sizes[agg])
+        P = sp.csr_matrix((vals, (np.arange(A_l.shape[0]), agg)),
+                          shape=(A_l.shape[0], n_agg)).astype(np.complex128)
+        if smooth:
+            # P = (I - w D^-1 A) P_tent — one damped-Jacobi smoothing step
+            # turns piecewise constants into overlapping smooth basis
+            # functions (the "SA" in SA-AMG)
+            dg = A_l.diagonal()
+            dg = np.where(np.abs(dg) > 0, dg, 1.0)
+            Dinv = sp.diags(1.0 / dg)
+            P = (P - omega * (Dinv @ (A_l @ P))).tocsr()
+        R = P.conj().T.tocsr()
+        Au, Bu = _union_pair(A_l, B_l)
+        levels.append(_make_level(Au, Bu, P, R, dtype))
+        A_l = (R @ A_l @ P).tocsr()
+        B_l = (R @ B_l @ P).tocsr()
+
+    Ac = np.asarray(A_l.todense(), dtype=np.complex128)
+    Bc = np.asarray(B_l.todense(), dtype=np.complex128)
+    return AMG(tuple(levels), cx.from_numpy(Ac, dtype),
+               cx.from_numpy(Bc, dtype))
+
+
+def _make_level(Au, Bu, P, R, dtype) -> AMGLevel:
+    dA = np.asarray(Au.diagonal(), dtype=np.complex128)
+    dB = np.asarray(Bu.diagonal(), dtype=np.complex128)
+    return AMGLevel(
+        indices=jnp.asarray(Au.indices, jnp.int32),
+        row_ids=jnp.asarray(_csr_rows(Au), jnp.int32),
+        Adata=_to_cx_data(Au.data, dtype),
+        Bdata=_to_cx_data(Bu.data, dtype),
+        dA=_to_cx_data(dA, dtype),
+        dB=_to_cx_data(dB, dtype),
+        P_indices=jnp.asarray(P.indices, jnp.int32),
+        P_row_ids=jnp.asarray(_csr_rows(P), jnp.int32),
+        P_data=_to_cx_data(P.data, dtype),
+        R_indices=jnp.asarray(R.indices, jnp.int32),
+        R_row_ids=jnp.asarray(_csr_rows(R), jnp.int32),
+        R_data=_to_cx_data(R.data, dtype),
+    )
+
+
+# ---------------------------------------------------------------------------
+# device-side apply
+# ---------------------------------------------------------------------------
+
+def _spmm(data: CX, indices, row_ids, n_out: int, X: CX) -> CX:
+    """Y = M @ X for CSR-as-COO (gather + segment_sum, same scheme as
+    ops/sparse.CSR.matvec)."""
+    Xg = CX(X.re[indices], X.im[indices])
+    prod = CX(data.re[:, None] * Xg.re - data.im[:, None] * Xg.im,
+              data.re[:, None] * Xg.im + data.im[:, None] * Xg.re)
+    return CX(jax.ops.segment_sum(prod.re, row_ids, num_segments=n_out),
+              jax.ops.segment_sum(prod.im, row_ids, num_segments=n_out))
+
+
+def shifted_preconditioner(amg: AMG, z: CX, *, nu: int = 2,
+                           omega: float = 2.0 / 3.0, cycles: int = 1):
+    """Return M: X -> approx (A - z B)^{-1} X (`cycles` V-cycles).
+
+    Everything here is jit- and vmap-safe: under `vmap` over the contour
+    node axis the per-z shifted data and the coarse LU batch naturally.
+    The shifted level operators S_l = A_l - z B_l and Jacobi diagonals are
+    precomputed ONCE per z; each V-cycle application is pure SpMM + axpy.
+    """
+    from . import lu as lumod
+
+    def shift_data(a: CX, b: CX) -> CX:
+        return CX(a.re - (z.re * b.re - z.im * b.im),
+                  a.im - (z.re * b.im + z.im * b.re))
+
+    Sdata = [shift_data(L.Adata, L.Bdata) for L in amg.levels]
+    dinv = []
+    for L in amg.levels:
+        d = shift_data(L.dA, L.dB)
+        # guard exactly-zero diagonals (possible off the union diagonal)
+        mag = cx.abs2(d)
+        eps = jnp.finfo(d.re.dtype).eps
+        scale = jnp.maximum(jnp.sqrt(jnp.max(mag)), 1.0)
+        d = cx.where(mag > 0, d, CX(jnp.full_like(d.re, eps * scale),
+                                    jnp.zeros_like(d.im)))
+        dinv.append(cx.creciprocal(d))
+    Sc = CX(amg.Ac.re - (z.re * amg.Bc.re - z.im * amg.Bc.im),
+            amg.Ac.im - (z.re * amg.Bc.im + z.im * amg.Bc.re))
+    LUc, permc = lumod.lu_factor(Sc)
+
+    def smooth(l: int, x: CX, r: CX, steps: int) -> CX:
+        L = amg.levels[l]
+        n_l = L.dA.re.shape[0]
+        for _ in range(steps):
+            resid = r - _spmm(Sdata[l], L.indices, L.row_ids, n_l, x)
+            corr = CX(resid.re * dinv[l].re[:, None]
+                      - resid.im * dinv[l].im[:, None],
+                      resid.re * dinv[l].im[:, None]
+                      + resid.im * dinv[l].re[:, None])
+            x = x + omega * corr
+        return x
+
+    def vcycle(l: int, r: CX) -> CX:
+        if l == len(amg.levels):
+            return lumod.lu_solve(LUc, permc, r)
+        L = amg.levels[l]
+        n_l = L.dA.re.shape[0]
+        nc = amg.levels[l + 1].dA.re.shape[0] if l + 1 < len(amg.levels) \
+            else amg.Ac.re.shape[0]
+        x = smooth(l, cx.zeros(r.shape, r.dtype), r, nu)
+        rc = _spmm(L.R_data, L.R_indices, L.R_row_ids, nc,
+                   r - _spmm(Sdata[l], L.indices, L.row_ids, n_l, x))
+        xc = vcycle(l + 1, rc)
+        x = x + _spmm(L.P_data, L.P_indices, L.P_row_ids, n_l, xc)
+        return smooth(l, x, r, nu)
+
+    def M(X: CX) -> CX:
+        out = vcycle(0, X)
+        for _ in range(cycles - 1):
+            L0 = amg.levels[0] if amg.levels else None
+            if L0 is None:
+                break
+            n0 = L0.dA.re.shape[0]
+            resid = X - _spmm(Sdata[0], L0.indices, L0.row_ids, n0, out)
+            out = out + vcycle(0, resid)
+        return out
+
+    if not amg.levels:  # degenerate: problem already <= max_coarse
+        return lambda X: lumod.lu_solve(LUc, permc, X)
+    return M

@@ -25,13 +25,28 @@ from .. import cx
 from ..cx import CX
 
 
-class CSR(NamedTuple):
-    """Complex CSR matrix as pair data (static sparsity per jit trace)."""
+@jax.tree_util.register_pytree_node_class
+class CSR:
+    """Complex CSR matrix as pair data (static sparsity per jit trace).
 
-    data: CX           # (nnz,)
-    indices: jax.Array  # (nnz,) int32 column ids
-    row_ids: jax.Array  # (nnz,) int32 row ids (expanded indptr)
-    shape: tuple
+    Registered as a pytree with `shape` as STATIC aux data, so a CSR can be
+    passed as a jit/vmap ARGUMENT (donated/deduplicated buffers) instead of
+    being closed over as an embedded constant — closing over a multi-MB
+    operator makes XLA constant-fold whole SpMMs at compile time and bloats
+    the executable."""
+
+    def __init__(self, data: CX, indices, row_ids, shape):
+        self.data = data          # (nnz,)
+        self.indices = indices    # (nnz,) int32 column ids
+        self.row_ids = row_ids    # (nnz,) int32 row ids (expanded indptr)
+        self.shape = tuple(shape)
+
+    def tree_flatten(self):
+        return (self.data, self.indices, self.row_ids), self.shape
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, aux)
 
     @classmethod
     def from_scipy(cls, A, dtype=None):

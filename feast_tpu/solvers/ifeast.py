@@ -58,6 +58,21 @@ def _apply(M, X: CX) -> CX:
     return cx.cmatmul(M, X)
 
 
+def _raw_matrix(A):
+    """Recover a scipy/numpy matrix for host-side AMG setup from whatever
+    the caller passed (scipy sparse, dense, CX, or a CSR operator)."""
+    if isinstance(A, spmod.CSR):
+        import scipy.sparse as sp
+
+        data = np.asarray(A.data.re) + 1j * np.asarray(A.data.im)
+        return sp.coo_matrix(
+            (data, (np.asarray(A.row_ids), np.asarray(A.indices))),
+            shape=A.shape).tocsr()
+    if isinstance(A, CX):
+        return cx.to_numpy(A)
+    return A
+
+
 def ifeast(A, X0, nodes: int = 8, iters: int = 10, *,
            c: complex = 0.0 + 0.0j, r: float = 1.0, tol: float = 1e-10,
            solve_tol: float = 1e-8, solve_iters: int = 500,
@@ -117,17 +132,38 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
                     iters: int = 20, tol: float = 1e-10,
                     solver: str = "bicgstab", solve_tol: float = 1e-10,
                     # solver: "bicgstab" | "bicgstabl" (l=2) | "gmres"
-                    solve_iters: int = 1000, precondition: bool = True,
+                    solve_iters: int = 1000, precondition="jacobi",
+                    amg_opts: Optional[dict] = None,
                     ortho: str = "cholqr2", mesh=None,
                     debug: bool = False) -> FeastResult:
     """RII FEAST with matrix-free iterative node solves (sparse-ready).
+
+    precondition: "jacobi" (diagonal of A - zB; cheap, adequate for
+    diagonally-dominant/interior slices), "amg" (smoothed-aggregation
+    multigrid V-cycle, ops/amg.py — required for edge-of-spectrum slices
+    where kappa(A - zB) >= 1e8; the TPU replacement for the reference's
+    UMFPACK sparse-LU path), False/None (unpreconditioned), or a callable
+    z -> (X -> M^{-1}X).  True is accepted as an alias for "jacobi".
 
     mesh: shards the node axis (z, w, per-node Krylov warm starts) across
     devices; the matrix-free operators replicate (CSR data is tiny next to
     the Krylov work)."""
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    A_raw, B_raw = A, B  # keep originals for host-side AMG setup
     A = _to_op(A, dtype)
     B = _to_op(B, dtype)
+    if precondition is True:
+        precondition = "jacobi"
+    _amg_apply_only = ("nu", "cycles")  # "omega" feeds both build and apply
+    amg_hier = None
+    if precondition == "amg":
+        from ..ops import amg as amgmod
+
+        build_opts = {k: v for k, v in (amg_opts or {}).items()
+                      if k not in _amg_apply_only}
+        amg_hier = amgmod.build_amg(
+            _raw_matrix(A_raw), None if B is None else _raw_matrix(B_raw),
+            dtype=dtype, **build_opts)
     X = X0 if isinstance(X0, CX) else cx.from_numpy(np.asarray(X0), dtype)
     n, m0 = X.shape
     if contour is None:
@@ -151,8 +187,13 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
         solve_fn = functools.partial(krylov.gmres,
                                      restart=min(40, max(10, n // 8)))
 
+    # AMG apply knobs ride in amg_opts next to the build knobs
+    _amg_apply_keys = ("nu", "omega", "cycles")
+    amg_apply = {k: v for k, v in (amg_opts or {}).items()
+                 if k in _amg_apply_keys}
+
     @jax.jit
-    def step(Q, warm):
+    def step(Q, warm, A, B, amg):
         Qo = qrmod.orthonormalize(Q, method=ortho)
         AQ = _apply(A, Qo)
         Aq = cx.cmatmul(Qo.H, AQ)
@@ -168,10 +209,20 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
         res = cx.col_norms(R)
         inside = _in_mask(lam, contour.kind, contour.params)
 
+        def make_M(zi: CX):
+            if precondition == "amg":
+                from ..ops import amg as amgmod
+
+                return amgmod.shifted_preconditioner(amg, zi, **amg_apply)
+            if precondition == "jacobi":
+                return spmod.jacobi_preconditioner(A, B, zi)
+            if callable(precondition):
+                return precondition(zi)
+            return None
+
         def one_node(zi, wi, x0):
             mv = spmod.shifted_matvec(A, B, CX(zi.re, zi.im))
-            M = spmod.jacobi_preconditioner(A, B, CX(zi.re, zi.im)) \
-                if precondition else None
+            M = make_M(CX(zi.re, zi.im))
             if solver in ("bicgstab", "bicgstabl"):
                 sol = solve_fn(mv, R, x0=x0, tol=solve_tol,
                                maxiter=solve_iters, M=M)
@@ -194,7 +245,7 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
     Q = X
     for nit in range(iters + 1):
         n_iter = nit
-        Qn, Xout, lam, res, inside, warm = step(Q, warm)
+        Qn, Xout, lam, res, inside, warm = step(Q, warm, A, B, amg_hier)
         res_h, inside_h = np.asarray(res), np.asarray(inside)
         if debug:
             _debug_print(nit, lam, res_h, inside_h)
