@@ -193,6 +193,19 @@ def expi(theta) -> CX:
 # arithmetic kernels
 # ---------------------------------------------------------------------------
 
+_GEMM_BACKEND = "xla"  # "xla" | "pallas" (f32 2-D fused kernel, TPU only)
+
+
+def set_gemm_backend(name: str):
+    """Select the complex-GEMM backend: "xla" (default, 3-matmul Karatsuba)
+    or "pallas" (ops/pallas_kernels.cmatmul_pallas — fused tiles, f32 2-D
+    shapes on TPU; everything else silently falls back to XLA)."""
+    global _GEMM_BACKEND
+    if name not in ("xla", "pallas"):
+        raise ValueError(f"unknown gemm backend {name!r}")
+    _GEMM_BACKEND = name
+
+
 def cmatmul(a: CX, b: CX, precision=jax.lax.Precision.HIGHEST) -> CX:
     """Complex matmul via 3 real matmuls (Karatsuba / Gauss trick).
 
@@ -201,6 +214,15 @@ def cmatmul(a: CX, b: CX, precision=jax.lax.Precision.HIGHEST) -> CX:
     Saves 25% of MXU work vs. the 4-matmul form; the extra additions are
     HBM-bandwidth-cheap relative to the O(n^3) products.
     """
+    if (_GEMM_BACKEND == "pallas" and a.re.ndim == 2 and b.re.ndim == 2
+            and a.dtype == jnp.float32):
+        from .ops.pallas_kernels import cmatmul_pallas
+
+        return cmatmul_pallas(a, b)
+    return _cmatmul_xla(a, b, precision)
+
+
+def _cmatmul_xla(a: CX, b: CX, precision=jax.lax.Precision.HIGHEST) -> CX:
     t1 = jnp.matmul(a.re, b.re, precision=precision)
     t2 = jnp.matmul(a.im, b.im, precision=precision)
     t3 = jnp.matmul(a.re + a.im, b.re + b.im, precision=precision)

@@ -146,23 +146,53 @@ def gmres(matvec: Callable[[CX], CX], B: CX, x0: Optional[CX] = None,
             return V, H
 
         V, H = lax.fori_loop(0, k, arn_step, (V, H))
-        # least squares per column: H (k+1, k) y = beta e1, via normal
-        # equations on the small Hessenberg (k is modest)
+        # least squares per column: H (k+1, k) y = beta e1 via complex
+        # GIVENS QR — the numerically robust formulation (normal equations
+        # H^H H square the Hessenberg conditioning; VERDICT r1)
         def solve_col(Hc_re, Hc_im, beta_c):
-            Hc = CX(Hc_re, Hc_im)  # (k+1, k)
+            from .lu import _get_row, _upper_solve_small
+
+            R = CX(Hc_re, Hc_im)  # (k+1, k)
             g = CX(jnp.zeros((k + 1,), dt).at[0].set(beta_c),
                    jnp.zeros((k + 1,), dt))
-            HtH = cx.cmatmul(Hc.H, Hc)
-            Htg = CX(Hc.H.re @ g.re - Hc.H.im @ g.im,
-                     Hc.H.re @ g.im + Hc.H.im @ g.re)
-            # tiny regularization for rank-deficient tail
-            eps = jnp.finfo(dt).eps
-            tr = jnp.trace(HtH.re)
-            HtH = CX(HtH.re + eps * (tr + 1.0) * jnp.eye(k, dtype=dt), HtH.im)
-            from . import lu as lumod
-            LU, perm = lumod.lu_factor(HtH, block=k)
-            y = lumod.lu_solve(LU, perm, CX(Htg.re[:, None], Htg.im[:, None]),
-                               block=k)
+
+            def rot(j, Rg):
+                R, g = Rg
+                a = CX(lax.dynamic_slice(R.re, (j, j), (1, 1))[0, 0],
+                       lax.dynamic_slice(R.im, (j, j), (1, 1))[0, 0])
+                b = CX(lax.dynamic_slice(R.re, (j + 1, j), (1, 1))[0, 0],
+                       lax.dynamic_slice(R.im, (j + 1, j), (1, 1))[0, 0])
+                rr = jnp.sqrt(cx.abs2(a) + cx.abs2(b))
+                safe = rr > 0
+                inv = jnp.where(safe, 1.0 / jnp.where(safe, rr, 1.0), 0.0)
+                one = CX(jnp.ones((), dt), jnp.zeros((), dt))
+                c = cx.where(safe, a.conj() * inv, one)
+                s = b.conj() * inv
+                ca = cx.where(safe, a * inv, one)
+                cb = b * inv
+                rowj, rowj1 = _get_row(R, j), _get_row(R, j + 1)
+                new_j = c * rowj + s * rowj1
+                new_j1 = ca * rowj1 - cb * rowj
+                R = CX(lax.dynamic_update_slice(R.re, new_j.re[None], (j, 0)),
+                       lax.dynamic_update_slice(R.im, new_j.im[None], (j, 0)))
+                R = CX(
+                    lax.dynamic_update_slice(R.re, new_j1.re[None], (j + 1, 0)),
+                    lax.dynamic_update_slice(R.im, new_j1.im[None], (j + 1, 0)))
+                gj = CX(lax.dynamic_slice(g.re, (j,), (1,))[0],
+                        lax.dynamic_slice(g.im, (j,), (1,))[0])
+                gj1 = CX(lax.dynamic_slice(g.re, (j + 1,), (1,))[0],
+                         lax.dynamic_slice(g.im, (j + 1,), (1,))[0])
+                ng_j = c * gj + s * gj1
+                ng_j1 = ca * gj1 - cb * gj
+                g = CX(lax.dynamic_update_slice(g.re, ng_j.re[None], (j,)),
+                       lax.dynamic_update_slice(g.im, ng_j.im[None], (j,)))
+                g = CX(lax.dynamic_update_slice(g.re, ng_j1.re[None], (j + 1,)),
+                       lax.dynamic_update_slice(g.im, ng_j1.im[None], (j + 1,)))
+                return R, g
+
+            R, g = lax.fori_loop(0, k, rot, (R, g))
+            y = _upper_solve_small(CX(R.re[:k, :k], R.im[:k, :k]),
+                                   CX(g.re[:k, None], g.im[:k, None]))
             return y.re[:, 0], y.im[:, 0]
 
         y_re, y_im = jax.vmap(solve_col, in_axes=(2, 2, 0), out_axes=(1, 1))(

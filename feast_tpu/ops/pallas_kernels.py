@@ -23,7 +23,12 @@ from .. import cx
 from ..cx import CX
 
 
+_INTERPRET = False  # interpret-mode for CPU correctness tests
+
+
 def _pallas_available() -> bool:
+    if _INTERPRET:
+        return True
     try:
         import jax.experimental.pallas  # noqa: F401
         return jax.default_backend() not in ("cpu",)
@@ -93,6 +98,7 @@ def _cmatmul_pallas_padded(ar, ai, br, bi, bm: int, bn: int, bk: int):
             pltpu.VMEM((bm, bn), jnp.float32),
             pltpu.VMEM((bm, bn), jnp.float32),
         ],
+        interpret=_INTERPRET,
     )(ar, ai, br, bi)
     return cr, ci
 
@@ -101,11 +107,11 @@ def cmatmul_pallas(a: CX, b: CX, bm: int = 256, bn: int = 256,
                    bk: int = 256) -> CX:
     """Fused complex matmul; pads to tile multiples, slices back."""
     if a.dtype != jnp.float32 or not _pallas_available():
-        return cx.cmatmul(a, b)
+        return cx._cmatmul_xla(a, b)
     M, K = a.shape
     K2, N = b.shape
     if M * N * K < 64 ** 3:  # too small to beat the XLA path
-        return cx.cmatmul(a, b)
+        return cx._cmatmul_xla(a, b)
     bm = min(bm, max(128, M))
     bn = min(bn, max(128, N))
     bk = min(bk, max(128, K))

@@ -134,3 +134,30 @@ def test_feast_hermitian_fast_path():
     lamg, _, rg = outg.filtered()
     np.testing.assert_allclose(np.sort(lamg.real), np.sort(lam.real),
                                atol=1e-12)
+
+
+def test_eigh_embedding_triple_degenerate():
+    """Hermitian matrix with a 4-fold degenerate eigenvalue: the embedding
+    repair must yield independent, orthonormal eigenvectors for the whole
+    cluster (the r1 heuristic only handled 2-clusters)."""
+    rng = np.random.default_rng(21)
+    n = 12
+    # random unitary (complex) via QR of a random matrix
+    Z = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    Uq, _ = np.linalg.qr(Z)
+    w_true = np.concatenate([np.full(4, 2.5), np.array([1.0, 3.0]),
+                             np.linspace(4, 9, n - 6)])
+    H = (Uq * w_true[None, :]) @ Uq.conj().T
+    H = (H + H.conj().T) / 2
+    import jax.numpy as jnp
+    from feast_tpu.ops import eigh as eighmod
+    Hc = cx.from_numpy(H, jnp.float64)
+    w, V = eighmod.eigh_cx(Hc)
+    w = np.asarray(w)
+    np.testing.assert_allclose(np.sort(w), np.sort(w_true), atol=1e-10)
+    Vn = cx.to_numpy(V)
+    # orthonormal (full rank — no colinear collapse inside the cluster)
+    np.testing.assert_allclose(Vn.conj().T @ Vn, np.eye(n), atol=1e-8)
+    # eigen-residuals
+    R = H @ Vn - Vn * w[None, :]
+    assert np.linalg.norm(R, axis=0).max() < 1e-9
