@@ -87,3 +87,43 @@ def test_row_sharded_tsqr():
     Qn, Rn = cx.to_numpy(Q), cx.to_numpy(R)
     assert np.abs(Qn.conj().T @ Qn - np.eye(m)).max() < 1e-13
     assert np.abs(Qn @ Rn - a).max() < 1e-13
+
+
+def test_feast_sliced_parallel_matches_sequential():
+    """Slice-axis parallel execution (VERDICT r1 #5): 4 slices stacked and
+    sharded over a 4-device `slice` mesh in ONE jit; results must match the
+    sequential host-loop driver, the per-device program must carry only
+    S/d slices, and the module must contain no cross-slice collectives
+    (wall ~ max over slices by construction)."""
+    from jax.sharding import Mesh
+
+    from feast_tpu.parallel import feast_sliced, feast_sliced_parallel
+    from feast_tpu.parallel.rowsharded import largest_allgather_elems
+    from feast_tpu.problems import laplacian_1d
+
+    n = 120
+    L = laplacian_1d(n)
+    exact = 2 - 2 * np.cos(np.arange(1, n + 1) * np.pi / (n + 1))
+    want = np.sort(exact[(exact > 0.0) & (exact < 0.2)])
+    mesh = Mesh(np.array(jax.devices()[:4]), axis_names=("slice",))
+    hlo = []
+    out = feast_sliced_parallel(L, (0.0, 0.2), 4, nodes=8, iters=25,
+                                tol=1e-12, mesh=mesh, hlo_sink=hlo)
+    np.testing.assert_allclose(np.sort(out.lam.real), want, atol=1e-9)
+    assert out.res.max() < 1e-11
+    ref = feast_sliced(L, (0.0, 0.2), 4, nodes=8, iters=25, tol=1e-12)
+    np.testing.assert_allclose(np.sort(out.lam.real), np.sort(ref.lam.real),
+                               atol=1e-9)
+    # structural parallelism guarantees from the compiled SPMD module:
+    txt = hlo[0]
+    assert largest_allgather_elems(txt) == 0, "unexpected all-gather"
+    # the ONLY cross-slice traffic allowed is the 1-bit while-loop
+    # termination vote (pred[] all-reduce) — no data ever crosses slices
+    import re
+
+    for m in re.finditer(r"=\s*([^=\n]*?)\s*all-reduce", txt):
+        shapes = re.findall(r"\[([0-9,]*)\]", m.group(1))
+        for s in shapes:
+            assert s == "", f"non-scalar all-reduce across slices: {s}"
+    # per-device parameter shapes carry S/d = 1 slice of the LU batch
+    assert f"f64[1,8,{n},{n}]" in txt, "slice batch not partitioned"
