@@ -1,31 +1,54 @@
-"""Benchmark: wall-time to 1e-10 residual for a dense FEAST slice.
+"""Benchmark: dense FEAST slice wall-time vs the LAPACK-CPU reference path,
+plus the BASELINE north-star metrics (sparse shifted-solve nnz/s per chip,
+gun-structure NLEP wall time).
 
-Config (BASELINE.md config 1 scaled up): dense non-Hermitian 1024x1024,
-circular contour around the low spectrum, 16 trapezoid nodes, m0=32
-(16 nodes = the reference's nlfeast default; the sharper filter converges
-in ~5 refinement iterations).
-The baseline is the SAME algorithm executed by LAPACK/BLAS through numpy
-complex128 on host CPU — i.e. what the Julia reference does (its compute
-is 100% LAPACK FFI: SURVEY.md section 2.2), so `vs_baseline` measures
-TPU-native vs reference-equivalent on this machine.
+Primary metric: wall-time to 1e-10 residual on a dense non-Hermitian
+2048x2048 slice, 16 trapezoid nodes, m0=48.  The baseline is the SAME
+algorithm executed by LAPACK/BLAS through numpy complex128 on host CPU —
+i.e. what the Julia reference does (its compute is 100% LAPACK FFI:
+SURVEY.md section 2.2), so `vs_baseline` measures TPU-native vs
+reference-equivalent on this machine.
+
+TPU path: batched f32 pair LU (MXU) + f64 iterative refinement
+(full accuracy; f64 LU is 16x-slower emulation on TPU) + host LAPACK for
+the m0 x m0 reduced eig (remote-dispatch latency).  A persistent XLA
+compilation cache (.jax_cache/) makes repeat runs compile-free through the
+remote tunnel.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": wall_s, "unit": "s", "vs_baseline": base_s/wall_s}
+  {"metric": ..., "value": wall_s, "unit": "s", "vs_baseline": base_s/wall_s,
+   "detail": {..., "sparse_solve_nnz_per_s": ..., "gun_like_4096": ...}}
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 
-def _problem(n=1024, m0=32, seed=0):
+def _setup_jax():
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+    return jax
+
+
+def _problem(n=2048, m0=48, seed=0):
     rng = np.random.default_rng(seed)
     A = np.diag(np.arange(1.0, n + 1.0)).astype(np.complex128)
     A += 0.05 * (rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n)))
     X0 = rng.standard_normal((n, m0)) + 1j * rng.standard_normal((n, m0))
-    c, r = 12.0 + 0.0j, 14.0  # ~25 eigenvalues inside
+    c, r = 20.0 + 0.0j, 22.0  # ~40 eigenvalues inside
     return A, X0, c, r
 
 
@@ -61,42 +84,115 @@ def numpy_feast(A, X0, c, r, nodes=16, tol=1e-10, iters=20):
 def tpu_feast(A, X0, c, r, nodes=16, tol=1e-10, iters=20):
     import jax
 
-    jax.config.update("jax_enable_x64", True)  # f64 pair driver math
-
     import feast_tpu as ft
 
     def run():
         t0 = time.perf_counter()
-        # production path: f32 LU + f64 iterative refinement (full accuracy
-        # at 4x the f64-emulation matmul throughput); host LAPACK for the
-        # tiny m0 x m0 reduced eig (cuts remote-dispatch latency)
         out = ft.feast(A, X0, c=c, r=r, nodes=nodes, iters=iters, tol=tol,
                        mixed_prec=True, rr="host")
-        jax.block_until_ready((out.lam.re, out.res))
+        # force a host transfer (block_until_ready is unreliable over the
+        # remote tunnel)
+        _ = np.asarray(out.res)
         return time.perf_counter() - t0, out
 
-    run()  # warmup: compile everything (cached for subsequent runs)
+    run()  # warmup: compile everything (persistent-cached for next runs)
     wall, out = run()
     res = np.asarray(out.res)
     inside = np.asarray(out.inside)
     return wall, float(res[inside].max()), out.n_iter
 
 
+def sparse_nnz_per_s(n=1_000_000, m0=16, reps=3):
+    """North-star: sustained nnz/s per chip in the shifted-solve phase.
+
+    Measures the SpMM-dominated inner loop the sparse path actually runs:
+    AMG-preconditioned BiCGStab on (A - zI) for a 1M-dof Laplacian, m0
+    RHS.  nnz processed = nnz * m0 * (2 matvecs + V-cycle SpMM work) per
+    iteration."""
+    import jax
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from feast_tpu import cx
+    from feast_tpu.ops import amg as amgmod
+    from feast_tpu.ops import krylov
+    from feast_tpu.ops import sparse as spmod
+
+    A = sp.diags([np.full(n, 2.0), -np.ones(n - 1), -np.ones(n - 1)],
+                 [0, 1, -1], format="csr").astype(np.complex128)
+    nnz = A.nnz
+    lam1 = 2 - 2 * np.cos(np.pi / (n + 1))
+    zc = complex(3.5 * lam1 + 3.0 * lam1 * np.exp(1j * np.pi / 8))
+    z = cx.CX(jnp.asarray(zc.real), jnp.asarray(zc.imag))
+    h = amgmod.build_amg(A)
+    # hierarchy SpMM work per V-cycle application (nu=2 pre + post + 2
+    # residuals + P + R per level), counted in nonzeros touched
+    lvl_nnz = [int(L.indices.shape[0]) for L in h.levels]
+    p_nnz = [int(L.P_indices.shape[0]) for L in h.levels]
+    vcycle_nnz = sum(6 * a + 2 * p for a, p in zip(lvl_nnz, p_nnz))
+    Ac = spmod.CSR.from_scipy(A)
+    rng = np.random.default_rng(0)
+    b = cx.from_numpy(rng.standard_normal((n, m0))
+                      + 1j * rng.standard_normal((n, m0)), jnp.float64)
+
+    @jax.jit
+    def solve(hh, bb):
+        mv = spmod.shifted_matvec(Ac, None, z)
+        return krylov.bicgstab(mv, bb, tol=1e-10, maxiter=40,
+                               M=amgmod.shifted_preconditioner(hh, z))
+
+    sol = solve(h, b)           # warmup/compile
+    iters = int(sol.iters)
+    t_best = np.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        sol = solve(h, b)
+        _ = np.asarray(sol.resnorm)
+        t_best = min(t_best, time.perf_counter() - t0)
+    # per bicgstab iteration: 2 fine matvecs + 2 preconditioner V-cycles
+    nnz_processed = iters * m0 * (2 * nnz + 2 * vcycle_nnz)
+    return {"n": n, "nnz": nnz, "m0": m0, "solve_s": round(t_best, 3),
+            "krylov_iters": iters,
+            "resnorm": float(np.asarray(sol.resnorm).max()),
+            "nnz_per_s": float(nnz_processed / t_best)}
+
+
+def gun_small(n=4096):
+    """gun-structure NLEP wall time (full N=9956 run: benchmarks/gun.py)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "benchmarks"))
+    import importlib
+
+    gun = importlib.import_module("gun")
+    r = gun.run(n=n, m0=84, nodes=16, verbose=False)
+    return r
+
+
 def main():
+    _setup_jax()
     A, X0, c, r = _problem()
-    base_s, base_res, base_it = numpy_feast(A, X0, c, r)
     wall_s, res, it = tpu_feast(A, X0, c, r)
+    base_s, base_res, base_it = numpy_feast(A, X0, c, r)
+    detail = {
+        "tpu": {"wall_s": round(wall_s, 4), "max_res_inside": res,
+                "iters": it},
+        "lapack_cpu": {"wall_s": round(base_s, 4),
+                       "max_res_inside": base_res, "iters": base_it},
+    }
+    try:
+        detail["sparse_solve_nnz_per_s"] = sparse_nnz_per_s()
+    except Exception as e:  # never let an aux metric kill the bench
+        detail["sparse_solve_nnz_per_s"] = {"error": repr(e)}
+    try:
+        detail["gun_like_4096"] = gun_small()
+    except Exception as e:
+        detail["gun_like_4096"] = {"error": repr(e)}
     print(json.dumps({
-        "metric": "dense_feast_1024_wall_to_1e-10",
+        "metric": "dense_feast_2048_wall_to_1e-10",
         "value": round(wall_s, 4),
         "unit": "s",
         "vs_baseline": round(base_s / wall_s, 4),
-        "detail": {
-            "tpu": {"wall_s": round(wall_s, 4), "max_res_inside": res,
-                    "iters": it},
-            "lapack_cpu": {"wall_s": round(base_s, 4),
-                           "max_res_inside": base_res, "iters": base_it},
-        },
+        "detail": detail,
     }))
 
 

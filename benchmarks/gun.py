@@ -1,0 +1,73 @@
+"""Reference-scale gun NLEP benchmark: N=9956, m0=84, 16 nodes.
+
+BASELINE row (reference test/paper_exact.jl:102-104): nlfeast! on the RF-gun
+cavity NLEP with N=9956, m0=84, 16 trapezoid nodes, converged set selected
+at residual <= 1e-10.  The real NLEVP data is offline-unavailable, so this
+runs `problems.gun_like(9956)` — same sqrt-branch SPMF structure and size
+(K - z M + i sqrt(z - s1^2) W1 + i sqrt(z - s2^2) W2).
+
+Path exercised: mixed-precision nlfeast — f32 batched node LU (the TPU MXU
+path; f64 LU is 16x slower emulation) + SPMF-form f64 iterative refinement,
+node matrices evaluated/factored in chunks so the f64 peak stays bounded.
+
+Run:  python benchmarks/gun.py            (real chip; ~minutes)
+      RUN_GUN_FULL=1 pytest tests/test_problems.py -k gun_full
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+
+def run(n=9956, m0=84, nodes=16, tol=1e-10, iters=10, seed=0,
+        verbose=True):
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+
+    import feast_tpu as ft
+    from feast_tpu import problems
+
+    t0 = time.perf_counter()
+    # planted mode = the real gun's phenomenology: ~25 isolated resonances
+    # in the contour, everything else far away, sqrt cuts BELOW the slice
+    T = problems.gun_like(n, seed=seed, planted=25)
+    t_build = time.perf_counter() - t0
+
+    c, r = 105.0 + 0.0j, 8.0
+    rng = np.random.default_rng(seed)
+    X0 = rng.standard_normal((n, m0)) + 1j * rng.standard_normal((n, m0))
+
+    t0 = time.perf_counter()
+    out = ft.nlfeast(T, X0, nodes=nodes, iters=iters, c=c, r=r, tol=tol,
+                     spurious=1e-5, mixed_prec=True, factor_chunk=2,
+                     debug=verbose)
+    # force full materialization (remote-TPU block_until_ready caveat)
+    _ = np.asarray(out.res)
+    t_solve = time.perf_counter() - t0
+
+    lam, X, res = out.filtered(spurious=1e-5)
+    result = {
+        "n": n, "m0": m0, "nodes": nodes,
+        "build_s": round(t_build, 2),
+        "solve_s": round(t_solve, 2),
+        "found": int(len(lam)),
+        "iters": int(out.n_iter),
+        "converged": bool(out.converged),
+        "max_res_nonspurious": float(res.max()) if len(res) else None,
+    }
+    if verbose:
+        print(json.dumps({"metric": "gun9956_wall_to_1e-10",
+                          "value": result["solve_s"], "unit": "s",
+                          "detail": result}))
+    return result
+
+
+if __name__ == "__main__":
+    run()

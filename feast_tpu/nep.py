@@ -86,6 +86,19 @@ class SPMF:
         im = jnp.einsum("dN,dij->Nij", co.re, Aim) + jnp.einsum("dN,dij->Nij", co.im, Are)
         return CX(re, im)
 
+    def apply_block(self, z: CX, V: CX) -> CX:
+        """T(z) @ V for ONE (traced) scalar z without materializing T(z):
+        d GEMMs — the building block for mixed-precision iterative
+        refinement of node solves (memory: no (n, n) per-node matrix)."""
+        co = self.coeffs(z)  # (d,) scalars
+        out = cx.zeros(V.shape, V.dtype)
+        for j in range(self.d):
+            AV = cx.cmatmul(self.mats[j], V)
+            cj = CX(co.re[j], co.im[j])
+            out = out + CX(AV.re * cj.re - AV.im * cj.im,
+                           AV.re * cj.im + AV.im * cj.re)
+        return out
+
     def apply_cols(self, X: CX, lam: CX) -> CX:
         """Columns T(lam_k) x_k for all k at once: (n, m)."""
         co = self.coeffs(lam)  # (d, m)

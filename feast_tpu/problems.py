@@ -176,23 +176,59 @@ def load_butterfly(data_dir: Optional[str] = None) -> Tuple[PolynomialNEP, list]
         return butterfly()
 
 
-def gun_like(n: int = 256, seed: int = 0) -> SPMF:
+def gun_like(n: int = 256, seed: int = 0,
+             planted: Optional[int] = None,
+             cluster: Tuple[float, float] = (100.0, 110.0)) -> SPMF:
     """A gun-NLEP-shaped problem: T(z) = K - z M + i sqrt(z - s1^2) W1
     + i sqrt(z - s2^2) W2 (the RF-gun cavity NLEP's structure,
     reference test/gun.jl — its 9956x9956 data lives in the NLEVP gallery
     and is not redistributable, so this generator reproduces the sqrt-branch
-    STRUCTURE at configurable size for capability tests)."""
+    STRUCTURE at configurable size for capability tests).
+
+    planted=None (default): GOE-bulk pencil — dense uniform spectrum, good
+    for interior-slice cross-method tests.  planted=m: plant m pencil
+    eigenvalues in `cluster` = (lo, hi) with everything else far above —
+    the real gun's phenomenology (a handful of isolated cavity resonances
+    inside a huge contour, far-away bands elsewhere; the reference's
+    contour holds ~20 eigenvalues against m0=84, test/paper_exact.jl:102).
+    """
     import jax.numpy as jnp
 
     rng = np.random.default_rng(seed)
-    # SPD-ish stiffness / mass, low-rank boundary coupling
-    Kd = rng.standard_normal((n, n))
-    K = (Kd + Kd.T) / 2 + n * np.eye(n)
-    Md = rng.standard_normal((n, n))
-    M = ((Md + Md.T) / 2 + n * np.eye(n)) / n
-    W1 = rng.standard_normal((n, 4)) @ rng.standard_normal((4, n)) / n
-    W2 = rng.standard_normal((n, 4)) @ rng.standard_normal((4, n)) / n
-    s1, s2 = 0.0, 108.8774  # gun's branch points (0 and 108.8774^2)
+    if planted is None:
+        # SPD-ish stiffness / mass, low-rank boundary coupling
+        Kd = rng.standard_normal((n, n))
+        K = (Kd + Kd.T) / 2 + n * np.eye(n)
+        Md = rng.standard_normal((n, n))
+        M = ((Md + Md.T) / 2 + n * np.eye(n)) / n
+        wscale = 1.0 / n
+    else:
+        lo, hi = cluster
+        d = np.concatenate([
+            rng.uniform(lo, hi, planted),
+            rng.uniform(4.0 * hi, 40.0 * hi, n - planted)])
+        Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        K = (Q * d[None, :]) @ Q.T
+        M = np.eye(n)
+        # nonlinear terms sized to shift cluster eigenvalues visibly
+        # (O(spacing)) without dissolving the cluster: ||f(z) W|| ~ 1
+        wscale = 0.6 / np.sqrt(lo)
+    # boundary-coupling rank grows with n in the real gun (surface dofs)
+    rk = 4 if planted is None else max(4, n // 64)
+    W1 = rng.standard_normal((n, rk)) @ rng.standard_normal((rk, n))
+    W2 = rng.standard_normal((n, rk)) @ rng.standard_normal((rk, n))
+    if planted is None:
+        W1 = W1 / n
+        W2 = W2 / n
+        s1, s2 = 0.0, 108.8774  # gun's branch points (0 and 108.8774^2)
+    else:
+        W1 *= wscale / np.linalg.norm(W1, 2)
+        W2 *= wscale / np.linalg.norm(W2, 2)
+        # both branch points BELOW the cluster, like the real gun whose
+        # contour (c=140000 > s2^2=11854.5) sits above both cuts — a
+        # contour crossing a sqrt cut is non-analytic and the moment
+        # quadrature would plateau at ~1e-6
+        s1, s2 = 0.0, np.sqrt(0.8 * cluster[0])
 
     one = lambda z: cx.CX(jnp.ones_like(z.re), jnp.zeros_like(z.im))
     neg_z = lambda z: cx.CX(-z.re, -z.im)
@@ -207,3 +243,37 @@ def gun_like(n: int = 256, seed: int = 0) -> SPMF:
                  (M.astype(np.complex128), neg_z),
                  (W1.astype(np.complex128), isqrt_shift(s1)),
                  (W2.astype(np.complex128), isqrt_shift(s2))])
+
+
+def fiber_like(n: int = 2400, seed: int = 0) -> SPMF:
+    """A fiber-NLEP-shaped problem (NLEVP 'fiber' structure: the reference
+    runs the real 2400x2400 problem with K=10 moments, test/fiber.jl:26-36;
+    its data needs the NLEVP gallery + Bessel evaluations, unavailable
+    offline).  Structure reproduced: T(z) = A - z I + s(z) e_n e_n^T with a
+    tridiagonal refraction-profile A and a branch-singular rank-1 boundary
+    term s(z) = sqrt(z - b) * z / (1 + sqrt(z - b)) — one sqrt branch point
+    below the spectrum slice, exactly the regime the K=10 block-Hankel
+    moment machinery exists for."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    # graded tridiagonal "refraction profile": eigenvalues cluster low
+    prof = 1.0 + 0.5 * np.exp(-np.linspace(0, 4, n))
+    A = (np.diag(2.0 * prof) - np.diag(np.ones(n - 1), 1)
+         - np.diag(np.ones(n - 1), -1)).astype(np.complex128)
+    C = np.zeros((n, n))
+    C[-1, -1] = 1.0
+    b = -0.5  # branch point safely left of the spectrum
+
+    one = lambda z: cx.CX(jnp.ones_like(z.re), jnp.zeros_like(z.im))
+    neg_z = lambda z: cx.CX(-z.re, -z.im)
+
+    def s_f(z):
+        w = cx.csqrt(cx.CX(z.re - b, z.im))
+        num = w * z
+        den = cx.CX(1.0 + w.re, w.im)
+        return cx.cdiv(num, den)
+
+    return SPMF([(A, one),
+                 (np.eye(n, dtype=np.complex128), neg_z),
+                 (C.astype(np.complex128), s_f)])

@@ -174,3 +174,74 @@ def test_gen_feast_qz_pencil_option():
     lam_qz, _, _, _ = _rayleigh_ritz(Q, Ac, Bc, pencil="qz")
     np.testing.assert_allclose(np.sort(cx.to_numpy(lam_lu).real),
                                np.sort(cx.to_numpy(lam_qz).real), atol=1e-10)
+
+
+def test_fiber_like_moments_k10():
+    """The fiber problem's K=10 stress test of the block-Hankel machinery
+    (reference runs NLEVP fiber with moments=10, test/fiber.jl:26-36; the
+    structure-preserving generator stands in for the offline-unavailable
+    data).  Cross-validated against single-shot Beyn on a fine contour."""
+    n = 256
+    T = problems.fiber_like(n)
+    rng = np.random.default_rng(0)
+    A = cx.to_numpy(T.mats[0])
+    w = np.sort(np.linalg.eigvalsh(A).real)
+    c = complex((w[0] + w[5]) / 2, 0)
+    r = (w[5] - w[0]) * 0.75
+    out = ft.nlfeast_moments(T, _x0(rng, n, 14), nodes=32, iters=20,
+                             moments=10, c=c, r=r, tol=1e-11, spurious=1e-4)
+    lam, _, res = out.filtered(spurious=1e-4)
+    assert out.converged
+    assert len(lam) == 7
+    assert res.max() < 1e-11
+    ref = ft.beyn(T, _x0(rng, n, 24), nodes=256, c=c, r=r)
+    lam_b = cx.to_numpy(ref.lam)
+    res_b = np.asarray(ref.res)
+    good = (np.abs(lam_b - c) <= r) & (res_b < 1e-8)
+    np.testing.assert_allclose(np.sort_complex(lam),
+                               np.sort_complex(lam_b[good]), atol=1e-8)
+
+
+def test_nlfeast_mixed_precision_matches_full():
+    """nlfeast(mixed_prec=True): f32 node LU + SPMF-form iterative
+    refinement must reproduce the f64 path to residual floor (the
+    memory/speed path for gun-scale problems)."""
+    import scipy.linalg as sla
+
+    T = problems.gun_like(128)
+    K = cx.to_numpy(T.mats[0])
+    M = cx.to_numpy(T.mats[1])
+    w = np.sort(sla.eigvals(K, M).real)
+    mid = len(w) // 2
+    c = complex((w[mid] + w[mid + 3]) / 2, 0)
+    r = (w[mid + 3] - w[mid]) / 2 + 0.3 * (w[mid + 4] - w[mid + 3])
+    X0 = _x0(np.random.default_rng(1), 128, 12)
+    out = ft.nlfeast(T, X0, nodes=64, iters=30, c=c, r=r, tol=1e-11,
+                     spurious=1e-4, mixed_prec=True)
+    lam1, _, r1 = out.filtered(spurious=1e-4)
+    out2 = ft.nlfeast(T, X0, nodes=64, iters=30, c=c, r=r, tol=1e-11,
+                      spurious=1e-4)
+    lam2, _, r2 = out2.filtered(spurious=1e-4)
+    assert r1.max() < 1e-11 and r2.max() < 1e-11
+    np.testing.assert_allclose(np.sort_complex(lam1), np.sort_complex(lam2),
+                               atol=1e-9)
+
+
+@pytest.mark.skipif(os.environ.get("RUN_GUN_FULL") != "1",
+                    reason="reference-scale gun run (N=9956, m0=84): set "
+                           "RUN_GUN_FULL=1; sized for TPU, hours on CPU")
+def test_gun_full_scale():
+    """BASELINE row: gun NLEP at reference scale — N=9956, m0=84, 16
+    nodes (test/paper_exact.jl:102-104) — converged set at res <= 1e-10.
+    Run via benchmarks/gun.py on the real chip; this gate reuses it."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "gun_bench", os.path.join(os.path.dirname(__file__), "..",
+                                  "benchmarks", "gun.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    result = mod.run(n=9956, m0=84, nodes=16)
+    assert result["converged"]
+    assert result["max_res_nonspurious"] <= 1e-10
+    assert result["found"] > 0
