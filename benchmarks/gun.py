@@ -46,8 +46,8 @@ def run(n=9956, m0=84, nodes=16, tol=1e-10, iters=10, seed=0,
 
     t0 = time.perf_counter()
     out = ft.nlfeast(T, X0, nodes=nodes, iters=iters, c=c, r=r, tol=tol,
-                     spurious=1e-5, mixed_prec=True, factor_chunk=2,
-                     debug=verbose)
+                     spurious=1e-5, mixed_prec=True, store=False,
+                     factor_chunk=2, debug=verbose)
     # force full materialization (remote-TPU block_until_ready caveat)
     _ = np.asarray(out.res)
     t_solve = time.perf_counter() - t0

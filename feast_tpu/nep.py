@@ -77,14 +77,27 @@ class SPMF:
                            self.mats[j].re * cj.im + self.mats[j].im * cj.re)
         return out
 
-    def eval_nodes(self, z: CX) -> CX:
-        """Batch T(z_i) over a node axis: (N, n, n)."""
+    def eval_nodes(self, z: CX, out_dtype=None) -> CX:
+        """Batch T(z_i) over a node axis: (N, n, n).
+
+        Term-by-term accumulation, NOT an einsum over the d axis: under
+        TPU f64 emulation XLA materializes (d, N, n, n) broadcast temps
+        for the einsum (~3x the output size) — at gun scale that alone
+        blows a 16 GB chip.  out_dtype (e.g. float32 for a mixed-precision
+        factorization) casts per term so the peak is one (N, n, n) pair.
+        """
         co = self.coeffs(z)  # (d, N)
-        Are = jnp.stack([A.re for A in self.mats])  # (d, n, n)
-        Aim = jnp.stack([A.im for A in self.mats])
-        re = jnp.einsum("dN,dij->Nij", co.re, Are) - jnp.einsum("dN,dij->Nij", co.im, Aim)
-        im = jnp.einsum("dN,dij->Nij", co.re, Aim) + jnp.einsum("dN,dij->Nij", co.im, Are)
-        return CX(re, im)
+        N = z.re.shape[0]
+        dt = out_dtype or self.mats[0].dtype
+        out = cx.zeros((N, self.n, self.n), dt)
+        for j in range(self.d):
+            Ar = self.mats[j].re.astype(dt)
+            Ai = self.mats[j].im.astype(dt)
+            cr = co.re[j].astype(dt)[:, None, None]
+            ci = co.im[j].astype(dt)[:, None, None]
+            out = CX(out.re + cr * Ar[None] - ci * Ai[None],
+                     out.im + cr * Ai[None] + ci * Ar[None])
+        return out
 
     def apply_block(self, z: CX, V: CX) -> CX:
         """T(z) @ V for ONE (traced) scalar z without materializing T(z):
@@ -163,11 +176,11 @@ class CallableNEP:
         self.dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64
                                else jnp.float32)
 
-    def eval_nodes(self, z: CX) -> CX:
+    def eval_nodes(self, z: CX, out_dtype=None) -> CX:
         zs = np.asarray(z.re) + 1j * np.asarray(z.im)
         mats = np.stack([np.asarray(self.fn(complex(zi)), dtype=np.complex128)
                          for zi in zs])
-        return cx.from_numpy(mats, self.dtype)
+        return cx.from_numpy(mats, out_dtype or self.dtype)
 
     def host_apply_cols(self, Xn: np.ndarray, lamn: np.ndarray) -> np.ndarray:
         cols = [np.asarray(self.fn(complex(l)), dtype=np.complex128) @ Xn[:, i]

@@ -130,16 +130,15 @@ def _unscale(mu: CX, scale) -> CX:
 # nlfeast (single-moment Beyn extraction)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("T", "kind", "params", "first",
-                                             "scale", "mixed", "refine"))
-def _nlfeast_step(T, LUb, permb, z: CX, zeta: CX, w: CX, X: CX, R: CX,
-                  lam: CX, kind: str, params, scale, first: bool,
-                  mixed: bool = False, refine: int = 2):
+def _node_terms(T, LUb, permb, z, zeta, w, X, R, lam, first: bool,
+                mixed: bool, refine: int = 2):
+    """Partial moment sums (Q0, Q1) over a batch of nodes.
+
+    mixed: f32 LU solve + f64 iterative refinement with the residual
+    applied in SPMF form (no per-node f64 matrix kept — the memory/speed
+    path for reference-scale problems, e.g. gun at N=9956 x 16 nodes)."""
+
     def node_solve(LU, perm, zi, Bmat):
-        """T(z_i)^{-1} Bmat; mixed: f32 LU solve + f64 iterative
-        refinement with the residual applied in SPMF form (no per-node f64
-        matrix kept — the memory/speed path for reference-scale problems,
-        e.g. gun at N=9956 x 16 nodes)."""
         if not mixed:
             return lumod.lu_solve(LU, perm, Bmat)
         t = lumod.lu_solve(LU, perm, Bmat.astype(jnp.float32)).astype(
@@ -170,6 +169,34 @@ def _nlfeast_step(T, LUb, permb, z: CX, zeta: CX, w: CX, X: CX, R: CX,
     q0s, q1s = jax.vmap(one_node)(LUb, permb, z, zeta, w)
     Q0 = CX(jnp.sum(q0s.re, 0), jnp.sum(q0s.im, 0))
     Q1 = CX(jnp.sum(q1s.re, 0), jnp.sum(q1s.im, 0))
+    return Q0, Q1
+
+
+@functools.partial(jax.jit, static_argnames=("T", "kind", "params", "first",
+                                             "scale", "mixed", "refine"))
+def _nlfeast_step(T, LUb, permb, z: CX, zeta: CX, w: CX, X: CX, R: CX,
+                  lam: CX, kind: str, params, scale, first: bool,
+                  mixed: bool = False, refine: int = 2):
+    Q0, Q1 = _node_terms(T, LUb, permb, z, zeta, w, X, R, lam, first, mixed,
+                         refine)
+    return _extract(T, Q0, Q1, kind, params, scale)
+
+
+@functools.partial(jax.jit, static_argnames=("T", "first", "mixed", "refine"))
+def _nlfeast_chunk(T, z_c: CX, zeta_c: CX, w_c: CX, X: CX, R: CX, lam: CX,
+                   first: bool, mixed: bool, refine: int = 2):
+    """store=False path: evaluate + factor + solve ONE chunk of nodes and
+    return its partial moment sums — peak memory is one chunk's
+    factorization instead of all N nodes (reference store flag semantics,
+    nlfeast.jl:17-28; mandatory at gun scale on a 16 GB chip)."""
+    Tz = T.eval_nodes(z_c, out_dtype=jnp.float32 if mixed else None)
+    LUb, permb = lumod.lu_factor_batched(Tz)
+    return _node_terms(T, LUb, permb, z_c, zeta_c, w_c, X, R, lam, first,
+                       mixed, refine)
+
+
+@functools.partial(jax.jit, static_argnames=("T", "kind", "params", "scale"))
+def _extract(T, Q0: CX, Q1: CX, kind: str, params, scale):
     mu, Xn = beyn_svd_extract(Q0, Q1)
     lam_new = _unscale(mu, scale)
     Xn, Rn, res = _residuals(T, Xn, lam_new)
@@ -194,7 +221,8 @@ def nlfeast(T, X0, nodes: int = 16, iters: int = 10, *,
             c: complex = 0.0 + 0.0j, r: float = 1.0,
             contour: Optional[ct.Contour] = None, tol: float = 1e-11,
             spurious: float = 1e-5, mixed_prec: bool = False,
-            factor_chunk: int = 4, debug: bool = False) -> NlfeastResult:
+            store: bool = True, factor_chunk: int = 4,
+            debug: bool = False) -> NlfeastResult:
     """Nonlinear FEAST (nlfeast!, nlfeast.jl:2-84).
 
     T: SPMF/PolynomialNEP, coefficient list, or callable z -> matrix.
@@ -204,9 +232,15 @@ def nlfeast(T, X0, nodes: int = 16, iters: int = 10, *,
     recover f64 accuracy by iterative refinement with the residual applied
     in SPMF form (d GEMMs; no per-node f64 matrix is ever stored).  This
     is 16x faster LU on TPU (f64 is emulated) and halves the dominant
-    memory term — the path that fits gun-sized problems (N=9956, 16
-    nodes) on one chip.  Node matrices are evaluated and factored in
+    memory term.  Node matrices are evaluated and factored in
     `factor_chunk`-node chunks to bound the f64 evaluation peak.
+
+    store=False (reference store flag, nlfeast.jl:17-28): do NOT keep the
+    N-node factorization — re-evaluate/factor/solve `factor_chunk` nodes
+    at a time every iteration.  Peak memory drops from O(N n^2) to
+    O(factor_chunk n^2): with mixed_prec this fits gun at N=9956 x 16
+    nodes on a 16 GB chip (batched f32 LU is cheap on the MXU, so
+    refactoring costs seconds per iteration).
     """
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     X = X0 if isinstance(X0, CX) else cx.from_numpy(np.asarray(X0), dtype)
@@ -216,17 +250,21 @@ def nlfeast(T, X0, nodes: int = 16, iters: int = 10, *,
     if mixed_prec and host_mode:
         raise ValueError("mixed_prec needs an SPMF/polynomial T (the "
                          "refinement residual is applied in SPMF form)")
+    if not store and host_mode:
+        raise ValueError("store=False needs an SPMF/polynomial T")
     if contour is None:
         contour = ct.circular_contour_trapezoidal(complex(c), float(r), nodes)
     z = contour.device_nodes(dtype)
     w = contour.device_weights(dtype)
-    if mixed_prec:
+    N_nodes = len(contour)
+    if not store:
+        LUb = permb = None
+    elif mixed_prec:
         factor = jax.jit(lumod.lu_factor_batched)
         LU_parts, perm_parts = [], []
-        N_nodes = len(contour)
         for i0 in range(0, N_nodes, factor_chunk):
             zi = CX(z.re[i0:i0 + factor_chunk], z.im[i0:i0 + factor_chunk])
-            LUi, permi = factor(T.eval_nodes(zi).astype(jnp.float32))
+            LUi, permi = factor(T.eval_nodes(zi, out_dtype=jnp.float32))
             LU_parts.append(LUi)
             perm_parts.append(permi)
         LUb = CX(jnp.concatenate([p.re for p in LU_parts]),
@@ -248,10 +286,25 @@ def nlfeast(T, X0, nodes: int = 16, iters: int = 10, *,
                 T, LUb, permb, z, w, X, R, lam, contour, nit == 0)
         else:
             zeta, scale = _scaled(contour, z)
-            X, R, lam, res, inside = _nlfeast_step(
-                T, LUb, permb, z, zeta, w, X, R, lam,
-                contour.kind, contour.params, scale, nit == 0,
-                bool(mixed_prec))
+            if store:
+                X, R, lam, res, inside = _nlfeast_step(
+                    T, LUb, permb, z, zeta, w, X, R, lam,
+                    contour.kind, contour.params, scale, nit == 0,
+                    bool(mixed_prec))
+            else:
+                Q0 = cx.zeros((n, m0), dtype)
+                Q1 = cx.zeros((n, m0), dtype)
+                for i0 in range(0, N_nodes, factor_chunk):
+                    sl = slice(i0, i0 + factor_chunk)
+                    q0, q1 = _nlfeast_chunk(
+                        T, CX(z.re[sl], z.im[sl]),
+                        CX(zeta.re[sl], zeta.im[sl]),
+                        CX(w.re[sl], w.im[sl]), X, R, lam, nit == 0,
+                        bool(mixed_prec))
+                    Q0 = Q0 + q0
+                    Q1 = Q1 + q1
+                X, R, lam, res, inside = _extract(
+                    T, Q0, Q1, contour.kind, contour.params, scale)
         res_h, inside_h = np.asarray(res), np.asarray(inside)
         if debug:
             _dbg(nit, res_h, inside_h, spurious)

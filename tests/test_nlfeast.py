@@ -361,3 +361,26 @@ def test_companion_singular_leading_coefficient():
     # finite eigenpairs have small residuals
     res = np.asarray(out.res)
     assert res[finite_mask].max() < 1e-7
+
+
+def test_nlfeast_store_false_matches_store_true():
+    """store=False (reference nlfeast.jl:17-28 semantics): chunked
+    re-factorization every iteration must reproduce the stored path —
+    the O(chunk n^2)-memory mode that fits gun-scale on a 16 GB chip."""
+    from feast_tpu import problems
+
+    n = 128
+    T = problems.gun_like(n, planted=12, cluster=(50.0, 56.0))
+    rng = np.random.default_rng(3)
+    X0 = rng.standard_normal((n, 30)) + 1j * rng.standard_normal((n, 30))
+    kw = dict(nodes=16, iters=10, c=53.0 + 0.0j, r=5.0, tol=1e-10,
+              spurious=1e-5)
+    a = ft.nlfeast(T, X0, store=False, factor_chunk=3, mixed_prec=True, **kw)
+    b = ft.nlfeast(T, X0, **kw)
+    la, _, ra = a.filtered(spurious=1e-5)
+    lb, _, rb = b.filtered(spurious=1e-5)
+    assert a.converged and b.converged
+    assert len(la) == len(lb) == 12
+    np.testing.assert_allclose(np.sort_complex(la), np.sort_complex(lb),
+                               atol=1e-9)
+    assert max(ra.max(), rb.max()) < 1e-10
