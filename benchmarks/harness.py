@@ -45,6 +45,14 @@ def _get_problem(name: str):
     if name == "system5":
         T, _ = problems.load_system5()
         return T, 1000, (-1.55 + 0j, 0.05), 80
+    if name == "fiber":
+        # K=10 stress config (reference test/fiber.jl:26-36 structure)
+        T = problems.fiber_like(256)
+        return T, 256, (0.055 + 0j, 0.04), 14
+    if name == "gun":
+        # planted-resonance gun structure (test/gun.jl / paper_exact.jl:102)
+        T = problems.gun_like(1024, planted=25)
+        return T, 1024, (105.0 + 0j, 8.0), 60
     raise ValueError(f"unknown problem {name}")
 
 

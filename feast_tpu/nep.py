@@ -37,8 +37,31 @@ from . import cx
 from .cx import CX
 
 
+@jax.tree_util.register_pytree_node_class
 class SPMF:
-    """T(z) = sum_j f_j(z) * A_j with jit-safe f_j: CX scalar/vector -> CX."""
+    """T(z) = sum_j f_j(z) * A_j with jit-safe f_j: CX scalar/vector -> CX.
+
+    Registered as a PYTREE: the coefficient matrices flatten as children
+    (jit ARGUMENTS) while the scalar functions ride as static aux data.
+    Never make an SPMF a jit static argument — that captures the whole
+    O(d n^2) matrix stack as compile-time constants baked into (and
+    re-uploaded with) every executable; at gun scale that is 6+ GB per
+    compiled program."""
+
+    def tree_flatten(self):
+        extra = tuple(sorted((k, v) for k, v in self.__dict__.items()
+                             if k not in ("mats", "_gram", "funcs")))
+        return ((self.mats, self._gram), (tuple(self.funcs), extra))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = object.__new__(cls)
+        obj.mats = list(children[0])
+        obj._gram = children[1]
+        obj.funcs = list(aux[0])
+        for k, v in aux[1]:
+            setattr(obj, k, v)
+        return obj
 
     def __init__(self, terms: Sequence[Tuple[object, Callable]], dtype=None):
         dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
@@ -136,6 +159,7 @@ class SPMF:
         return jnp.sqrt(jnp.maximum(acc, 0.0))
 
 
+@jax.tree_util.register_pytree_node_class
 class PolynomialNEP(SPMF):
     """T(z) = A_0 + A_1 z + ... + A_d z^d (companion.jl / polynomial tests)."""
 
@@ -150,6 +174,7 @@ class PolynomialNEP(SPMF):
         self.degree = len(self.mats) - 1
 
 
+@jax.tree_util.register_pytree_node_class
 class LinearPencilNEP(SPMF):
     """T(z) = A - z B — lets nlfeast solvers run linear problems."""
 

@@ -172,7 +172,7 @@ def _node_terms(T, LUb, permb, z, zeta, w, X, R, lam, first: bool,
     return Q0, Q1
 
 
-@functools.partial(jax.jit, static_argnames=("T", "kind", "params", "first",
+@functools.partial(jax.jit, static_argnames=("kind", "params", "first",
                                              "scale", "mixed", "refine"))
 def _nlfeast_step(T, LUb, permb, z: CX, zeta: CX, w: CX, X: CX, R: CX,
                   lam: CX, kind: str, params, scale, first: bool,
@@ -182,7 +182,7 @@ def _nlfeast_step(T, LUb, permb, z: CX, zeta: CX, w: CX, X: CX, R: CX,
     return _extract(T, Q0, Q1, kind, params, scale)
 
 
-@functools.partial(jax.jit, static_argnames=("T", "first", "mixed", "refine"))
+@functools.partial(jax.jit, static_argnames=("first", "mixed", "refine"))
 def _nlfeast_chunk(T, z_c: CX, zeta_c: CX, w_c: CX, X: CX, R: CX, lam: CX,
                    first: bool, mixed: bool, refine: int = 2):
     """store=False path: evaluate + factor + solve ONE chunk of nodes and
@@ -195,7 +195,7 @@ def _nlfeast_chunk(T, z_c: CX, zeta_c: CX, w_c: CX, X: CX, R: CX, lam: CX,
                        mixed, refine)
 
 
-@functools.partial(jax.jit, static_argnames=("T", "kind", "params", "scale"))
+@functools.partial(jax.jit, static_argnames=("kind", "params", "scale"))
 def _extract(T, Q0: CX, Q1: CX, kind: str, params, scale):
     mu, Xn = beyn_svd_extract(Q0, Q1)
     lam_new = _unscale(mu, scale)
@@ -374,7 +374,7 @@ def _hankel(Qm: CX, K: int, n: int, m0: int):
     return cx.concatenate(rows0, axis=0), cx.concatenate(rows1, axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("T", "K", "kind", "params",
+@functools.partial(jax.jit, static_argnames=("K", "kind", "params",
                                              "first", "scale"))
 def _moments_step(T, LUb, permb, z: CX, zeta: CX, w: CX, X: CX, R: CX,
                   lam_m0: CX, K: int, kind: str, params, scale, first: bool):

@@ -76,7 +76,7 @@ def _zpow_scale(term: CX, zi: CX, count: int, start: int = 0):
 # nlfeast_moments_all
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("T", "K", "kind", "params",
+@functools.partial(jax.jit, static_argnames=("K", "kind", "params",
                                              "first", "scale"))
 def _moments_all_step(T, LUb, permb, z, zeta, w, X: CX, Y: CX, R: CX, lam: CX,
                       K: int, kind: str, params, scale, first: bool):
@@ -188,7 +188,7 @@ def _ss_extract(T, Sm: CX, probe: CX, K: int, m0: int, kind, params,
             cx.take_cols(Rfull, p), res[p])
 
 
-@functools.partial(jax.jit, static_argnames=("T", "K", "kind", "params",
+@functools.partial(jax.jit, static_argnames=("K", "kind", "params",
                                              "first", "scale"))
 def _ss_step(T, LUb, permb, z, zeta, w, X: CX, R: CX, lam_m0: CX, probe: CX,
              K: int, kind: str, params, scale, first: bool):
@@ -257,7 +257,7 @@ def nlfeast_moments_ss(T, X0, nodes: int = 16, iters: int = 10, *,
 # nlfeast_rr (the fixed nlfeast_opt!)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("T", "kind", "params", "first",
+@functools.partial(jax.jit, static_argnames=("kind", "params", "first",
                                              "scale"))
 def _rr_step(T, LUb, permb, z, zeta, w, X: CX, R: CX, lam: CX,
              kind: str, params, scale, first: bool):
