@@ -30,6 +30,13 @@ def run(n=9956, m0=84, nodes=16, tol=1e-10, iters=10, seed=0,
     import jax
 
     jax.config.update("jax_enable_x64", True)
+    try:  # persistent compile cache (shared with bench.py)
+        jax.config.update("jax_compilation_cache_dir", os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
 
     import feast_tpu as ft
     from feast_tpu import problems
@@ -47,7 +54,7 @@ def run(n=9956, m0=84, nodes=16, tol=1e-10, iters=10, seed=0,
     t0 = time.perf_counter()
     out = ft.nlfeast(T, X0, nodes=nodes, iters=iters, c=c, r=r, tol=tol,
                      spurious=1e-5, mixed_prec=True, store=False,
-                     factor_chunk=2, debug=verbose)
+                     factor_chunk=1, debug=verbose)
     # force full materialization (remote-TPU block_until_ready caveat)
     _ = np.asarray(out.res)
     t_solve = time.perf_counter() - t0

@@ -39,15 +39,27 @@ def cholesky(G: CX) -> CX:
     m = G.shape[0]
     rows = jnp.arange(m)
     eps = jnp.finfo(G.dtype).eps
+    # pivot floor RELATIVE to the matrix scale, and NaN-sanitized: on the
+    # TPU f64 emulation (f32 exponent range) a rank-deficient G cascades
+    # 1/d amplification into overflow -> NaN within a few columns if the
+    # floor is absolute
+    g0 = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(G.re))), 1.0)
+    floor = eps * eps * g0
 
     def body(k, G):
         dkk = lax.dynamic_slice(G.re, (k, k), (1, 1))[0, 0]
-        dkk = jnp.maximum(dkk, eps * eps)
-        d = jnp.sqrt(dkk)
+        deficient = ~(jnp.isfinite(dkk) & (dkk > floor))
+        d = jnp.sqrt(jnp.where(deficient, floor, dkk))
         col = CX(lax.dynamic_slice(G.re, (0, k), (m, 1))[:, 0],
                  lax.dynamic_slice(G.im, (0, k), (m, 1))[:, 0])
         below = rows > k
         at_or_below = rows >= k
+        # semidefinite convention: a dependent column gets a floored
+        # diagonal and ZERO below — dividing the dependent column by the
+        # floored pivot would cascade 1/(eps sqrt(g0)) amplification
+        # through the trailing updates into overflow
+        col = CX(jnp.where(below & deficient, 0.0, col.re),
+                 jnp.where(below & deficient, 0.0, col.im))
         newcol = CX(jnp.where(at_or_below, col.re / d, col.re),
                     jnp.where(at_or_below, col.im / d, col.im))
         G = CX(lax.dynamic_update_slice(G.re, newcol.re[:, None], (0, k)),

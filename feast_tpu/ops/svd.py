@@ -72,12 +72,21 @@ def _jacobi_sweeps(R: CX, max_sweeps: int = 30):
         apq = cx.cdot_cols(bp, bq)         # p^H q, complex (m/2,)
         # rotation angles: diagonalize [[app, apq], [conj(apq), aqq]]
         absapq = cx.cabs(apq)
-        # skip pairs already orthogonal (guard division)
-        active = absapq > eps * jnp.sqrt(app * aqq) * 0.1
+        # skip pairs already orthogonal (guard division).  NOTE
+        # sqrt(app)*sqrt(aqq), NOT sqrt(app*aqq): TPU emulated f64 has
+        # f32 EXPONENT RANGE — app*aqq underflows for eps-scale columns.
+        norm_pq = jnp.sqrt(app) * jnp.sqrt(aqq)
+        active = absapq > eps * norm_pq * 0.1
         safe_abs = jnp.where(active, absapq, 1.0)
         tau = (aqq - app) / (2.0 * safe_abs)
         sgn = jnp.where(tau >= 0.0, 1.0, -1.0)
-        t = sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        # tau^2 overflows (-> NaN on the TPU f64 emulation, range ~1e38)
+        # for |tau| >~ 1e19; there the rotation is t ~ sgn/(2|tau|) ~ 0
+        abs_tau = jnp.abs(tau)
+        big = abs_tau > 1e12
+        tau_c = jnp.where(big, 0.0, tau)
+        t = jnp.where(big, sgn / (2.0 * jnp.maximum(abs_tau, 1.0)),
+                      sgn / (jnp.abs(tau_c) + jnp.sqrt(1.0 + tau_c * tau_c)))
         t = jnp.where(active, t, 0.0)
         c = 1.0 / jnp.sqrt(1.0 + t * t)
         s_mag = c * t
@@ -105,8 +114,8 @@ def _jacobi_sweeps(R: CX, max_sweeps: int = 30):
         # convergence metric: worst relative cosine |p^H q| / (|p||q|) —
         # relative, so tiny-sigma pairs are driven to orthogonality too
         # (this is what preserves high relative accuracy of small sigmas).
-        denom = jnp.sqrt(app * aqq)
-        rel = jnp.where(denom > 0.0, absapq / jnp.where(denom > 0, denom, 1.0), 0.0)
+        rel = jnp.where(norm_pq > 0.0, absapq / jnp.where(norm_pq > 0,
+                                                          norm_pq, 1.0), 0.0)
         return (B, V), jnp.max(rel)
 
     def sweep(state):

@@ -182,17 +182,31 @@ def _nlfeast_step(T, LUb, permb, z: CX, zeta: CX, w: CX, X: CX, R: CX,
     return _extract(T, Q0, Q1, kind, params, scale)
 
 
-@functools.partial(jax.jit, static_argnames=("first", "mixed", "refine"))
-def _nlfeast_chunk(T, z_c: CX, zeta_c: CX, w_c: CX, X: CX, R: CX, lam: CX,
-                   first: bool, mixed: bool, refine: int = 2):
-    """store=False path: evaluate + factor + solve ONE chunk of nodes and
-    return its partial moment sums — peak memory is one chunk's
-    factorization instead of all N nodes (reference store flag semantics,
-    nlfeast.jl:17-28; mandatory at gun scale on a 16 GB chip)."""
+# store=False path, TWO jit units per chunk: evaluate+factor, then
+# solve+accumulate.  Peak memory is one chunk's factorization instead of
+# all N nodes (reference store flag semantics, nlfeast.jl:17-28; mandatory
+# at gun scale on a 16 GB chip).  Kept as SEPARATE programs on purpose: a
+# single fused chunk graph gives the XLA scheduler panel-loop live ranges
+# it cannot compact (observed 54 GB of HLO temps at n=9956).
+
+@functools.partial(jax.jit, static_argnames=("mixed",))
+def _chunk_factor(T, z_c: CX, mixed: bool):
     Tz = T.eval_nodes(z_c, out_dtype=jnp.float32 if mixed else None)
-    LUb, permb = lumod.lu_factor_batched(Tz)
+    return lumod.lu_factor_batched(Tz)
+
+
+@functools.partial(jax.jit, static_argnames=("first", "mixed", "refine"))
+def _chunk_terms(T, LUb, permb, z_c: CX, zeta_c: CX, w_c: CX, X: CX, R: CX,
+                 lam: CX, first: bool, mixed: bool, refine: int = 2):
     return _node_terms(T, LUb, permb, z_c, zeta_c, w_c, X, R, lam, first,
                        mixed, refine)
+
+
+def _nlfeast_chunk(T, z_c: CX, zeta_c: CX, w_c: CX, X: CX, R: CX, lam: CX,
+                   first: bool, mixed: bool, refine: int = 2):
+    LUb, permb = _chunk_factor(T, z_c, mixed)
+    return _chunk_terms(T, LUb, permb, z_c, zeta_c, w_c, X, R, lam, first,
+                        mixed, refine)
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "params", "scale"))
