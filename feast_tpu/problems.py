@@ -207,8 +207,16 @@ def gun_like(n: int = 256, seed: int = 0,
         d = np.concatenate([
             rng.uniform(lo, hi, planted),
             rng.uniform(4.0 * hi, 40.0 * hi, n - planted)])
-        Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
-        K = (Q * d[None, :]) @ Q.T
+        # K = Q D Q^T with Q a product of 4 Householder reflectors —
+        # spectrum exact, O(n^2) build (a dense random-orthogonal QR +
+        # two GEMMs takes minutes at n=9956 on this host's BLAS)
+        K = np.diag(d)
+        for _ in range(4):
+            v = rng.standard_normal((n, 1))
+            v /= np.linalg.norm(v)
+            w = K @ v
+            K = K - 2.0 * (v @ w.T) - 2.0 * (w @ v.T) \
+                + 4.0 * float(v.T @ w) * (v @ v.T)
         M = np.eye(n)
         # nonlinear terms sized to shift cluster eigenvalues visibly
         # (O(spacing)) without dissolving the cluster: ||f(z) W|| ~ 1
