@@ -54,14 +54,27 @@ def cholesky(G: CX) -> CX:
                  lax.dynamic_slice(G.im, (0, k), (m, 1))[:, 0])
         below = rows > k
         at_or_below = rows >= k
-        # semidefinite convention: a dependent column gets a floored
-        # diagonal and ZERO below — dividing the dependent column by the
-        # floored pivot would cascade 1/(eps sqrt(g0)) amplification
-        # through the trailing updates into overflow
-        col = CX(jnp.where(below & deficient, 0.0, col.re),
-                 jnp.where(below & deficient, 0.0, col.im))
+        # semidefinite convention: a dependent column gets diagonal
+        # sqrt(floor) and ZERO below — dividing the dependent column by
+        # the floored pivot would cascade 1/(eps sqrt(g0)) amplification
+        # through the trailing updates into overflow (and the raw junk
+        # diagonal itself can be large-negative by then)
+        at_k = rows == k
+        col = CX(jnp.where(below & deficient, 0.0,
+                           jnp.where(at_k & deficient, d * d, col.re)),
+                 jnp.where(at_or_below & deficient, 0.0, col.im))
         newcol = CX(jnp.where(at_or_below, col.re / d, col.re),
                     jnp.where(at_or_below, col.im / d, col.im))
+        # any TRUE Cholesky factor satisfies |L[i,k]| <= sqrt(G[i,i]) <=
+        # sqrt(g0); entries past that are junk-pivot amplification on a
+        # semidefinite input — clamp (phase-preserving) so garbage cannot
+        # cascade through the trailing updates into overflow
+        cap = 2.0 * jnp.sqrt(g0)
+        mag = jnp.sqrt(newcol.re ** 2 + newcol.im ** 2)
+        scale_dn = jnp.where(mag > cap, cap / jnp.where(mag > cap, mag, 1.0),
+                             1.0)
+        newcol = CX(jnp.where(below, newcol.re * scale_dn, newcol.re),
+                    jnp.where(below, newcol.im * scale_dn, newcol.im))
         G = CX(lax.dynamic_update_slice(G.re, newcol.re[:, None], (0, k)),
                lax.dynamic_update_slice(G.im, newcol.im[:, None], (0, k)))
         # trailing update: G[i,j] -= L[i,k] * conj(L[j,k]) for i,j > k

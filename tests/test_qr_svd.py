@@ -1,6 +1,7 @@
 """CholeskyQR2/3, Householder QR, and Jacobi SVD vs numpy ground truth."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -83,3 +84,53 @@ def test_svd_direct_relative_accuracy():
     assert rel.max() < 1e-7
     Un = cx.to_numpy(U)
     assert np.abs(Un @ np.diag(np.asarray(s)) @ cx.to_numpy(Vh) - a).max() < 1e-13
+
+
+def test_svd_extreme_scale_columns():
+    """Columns spanning ~16 orders of magnitude: exercises the Jacobi
+    big-tau clamp (tau^2 overflows the TPU f64 emulation's f32 exponent
+    range — the r2 on-chip NaN) and the deficient-pivot Cholesky path."""
+    from feast_tpu.ops import svd as svdmod
+
+    rng = np.random.default_rng(31)
+    n, m = 60, 12
+    U0, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    sigmas = np.logspace(0, -16, m)
+    A = (U0[:, :m] * sigmas[None, :]) @ np.linalg.qr(
+        rng.standard_normal((m, m)))[0]
+    Ac = cx.from_numpy(A.astype(np.complex128), jnp.float64)
+    U, s, Vh = svdmod.svd(Ac)
+    s = np.asarray(s)
+    assert np.isfinite(s).all()
+    assert np.isfinite(cx.to_numpy(U)).all()
+    assert np.isfinite(cx.to_numpy(Vh)).all()
+    ref = np.linalg.svd(A, compute_uv=False)
+    np.testing.assert_allclose(s[:6], ref[:6], rtol=1e-10)
+    # reconstruction to absolute eps*sigma_max
+    rec = cx.to_numpy(U) * s[None, :] @ cx.to_numpy(Vh)
+    assert np.abs(rec - A).max() < 1e-13
+
+
+def test_cholesky_rank_deficient_stays_finite():
+    """Gram of a rank-deficient block: the semidefinite pivot convention
+    must keep everything finite (TPU f64-emulation overflow regression)."""
+    from feast_tpu.ops import qr as qrmod
+
+    rng = np.random.default_rng(32)
+    n, m, r = 80, 24, 7
+    A = (rng.standard_normal((n, r)) @ rng.standard_normal((r, m))
+         + 1j * rng.standard_normal((n, r)) @ rng.standard_normal((r, m)))
+    Ac = cx.from_numpy(A, jnp.float64)
+    G = cx.cmatmul(Ac.H, Ac)
+    L = qrmod.cholesky(G)
+    Ln = cx.to_numpy(L)
+    Gn = cx.to_numpy(G)
+    assert np.isfinite(Ln).all()
+    # junk-pivot amplification is bounded by the factor invariant
+    # |L[i,k]| <= 2 sqrt(max G_ii) — no cascade into overflow
+    assert np.abs(Ln).max() <= 2.01 * np.sqrt(np.abs(np.diag(Gn)).max())
+    # the numerically well-defined leading (2r x 2r) block reconstructs
+    # (complex rank of A is 2r: independent real/imag factors)
+    k = 2 * r
+    err = np.abs((Ln @ Ln.conj().T)[:k, :k] - Gn[:k, :k]).max()
+    assert err < 1e-8 * np.abs(Gn).max()
