@@ -195,6 +195,122 @@ def _upper_solve_small(U: CX, B: CX) -> CX:
 
 
 # ---------------------------------------------------------------------------
+# fori-loop factorization (large n): one aliased carry buffer
+# ---------------------------------------------------------------------------
+#
+# The python-unrolled block loop below ("unrolled" path) gives XLA one full
+# (n, n) rebuild per block; at n ~ 10^4 the scheduler keeps dozens of those
+# 0.4-3 GB planes live simultaneously (observed 42 GB of HLO temps on a
+# 16 GB chip).  The fori formulation carries ONE matrix buffer through
+# `lax.fori_loop` (aliased in place by XLA), with every per-block slice a
+# static-size dynamic_slice and the trailing update a masked full-width
+# (n, b) x (b, n) GEMM — ~3x the minimal LU flops, but flops are cheap on
+# the MXU and memory/compile-time are what bind at scale.
+
+def _panel_lu_slab(slab: CX, j0, n_all: int, block: int):
+    """LU factor the (n_all, block) column slab in place, eliminating rows
+    j0..j0+block-1 (global pivot rows).  Returns (slab, swaps) with swaps
+    the GLOBAL row index swapped with j0+k at step k."""
+    rows = jnp.arange(n_all)
+    eps = jnp.finfo(slab.dtype).eps
+    pscale = jnp.sqrt(jnp.max(cx.abs2(slab)))
+    tiny = eps * jnp.maximum(pscale, 1e-30)
+
+    def body(k, state):
+        slab, swaps = state
+        g = j0 + k
+        col = _get_col(slab, k)
+        mag = jnp.where(rows >= g, cx.abs2(col), -1.0)
+        p = jnp.argmax(mag)
+        swaps = swaps.at[k].set(p.astype(jnp.int32))
+        slab = _swap_rows(slab, g, p)
+        col = _get_col(slab, k)
+        piv = _scalar(slab, g, k)
+        piv = cx.where(cx.abs2(piv) > 0.0, piv,
+                       CX(jnp.full((), tiny, slab.dtype),
+                          jnp.zeros((), slab.dtype)))
+        inv = cx.creciprocal(piv)
+        below = rows > g
+        mult = cx.where(below, col * inv, col)
+        slab = _set_col(slab, k, mult)
+        rowg = _get_row(slab, g)
+        cols = jnp.arange(block)
+        rmask = below.astype(slab.dtype)
+        cmask = (cols > k).astype(slab.dtype)
+        mr = CX(mult.re * rmask, mult.im * rmask)
+        rk = CX(rowg.re * cmask, rowg.im * cmask)
+        upd = CX(mr.re[:, None] * rk.re[None, :] - mr.im[:, None] * rk.im[None, :],
+                 mr.re[:, None] * rk.im[None, :] + mr.im[:, None] * rk.re[None, :])
+        return slab - upd, swaps
+
+    swaps0 = jnp.zeros((block,), jnp.int32)
+    return lax.fori_loop(0, block, body, (slab, swaps0))
+
+
+def _lu_factor_fori(A: CX, block: int):
+    """Blocked LU via lax.fori_loop over block columns (see note above).
+
+    A must be (n_pad, n_pad) with n_pad % block == 0 (caller pads)."""
+    n = A.shape[0]
+    nblocks = n // block
+    rows = jnp.arange(n)
+
+    def body(jb, state):
+        A, perm = state
+        j0 = jb * block
+        slab = CX(lax.dynamic_slice(A.re, (0, j0), (n, block)),
+                  lax.dynamic_slice(A.im, (0, j0), (n, block)))
+        slab, swaps = _panel_lu_slab(slab, j0, n, block)
+        # compose the block's swaps into a global row permutation
+        def compose(k, p):
+            g = j0 + k
+            s = swaps[k]
+            pg, ps = p[g], p[s]
+            return p.at[g].set(ps).at[s].set(pg)
+
+        p_n = lax.fori_loop(0, block, compose, jnp.arange(n))
+        A = CX(A.re[p_n], A.im[p_n])
+        perm = perm[p_n]
+        A = CX(lax.dynamic_update_slice(A.re, slab.re, (0, j0)),
+               lax.dynamic_update_slice(A.im, slab.im, (0, j0)))
+        # U12: L11^{-1} applied to the pivot-row slab, only cols >= j0+block
+        L11 = CX(lax.dynamic_slice(slab.re, (j0, 0), (block, block)),
+                 lax.dynamic_slice(slab.im, (j0, 0), (block, block)))
+        rowslab = CX(lax.dynamic_slice(A.re, (j0, 0), (block, n)),
+                     lax.dynamic_slice(A.im, (j0, 0), (block, n)))
+        Y = _unit_lower_solve_small(L11, rowslab)
+        cols = jnp.arange(n)
+        cmask = (cols >= j0 + block).astype(A.dtype)[None, :]
+        newrow = CX(Y.re * cmask + rowslab.re * (1.0 - cmask),
+                    Y.im * cmask + rowslab.im * (1.0 - cmask))
+        A = CX(lax.dynamic_update_slice(A.re, newrow.re, (j0, 0)),
+               lax.dynamic_update_slice(A.im, newrow.im, (j0, 0)))
+        # trailing update with masked full-width operands:
+        # rows >= j0+block of the L-panel, cols >= j0+block of U12
+        rmask = (rows >= j0 + block).astype(A.dtype)[:, None]
+        L21 = CX(slab.re * rmask, slab.im * rmask)
+        U12 = CX(newrow.re * cmask, newrow.im * cmask)
+        A = A - cx.cmatmul(L21, U12)
+        return A, perm
+
+    return lax.fori_loop(0, nblocks, body, (A, jnp.arange(n)))
+
+
+def _lu_pad(A: CX, block: int):
+    """Pad to a block multiple with an identity extension (its pivots are
+    the 1.0 diagonals; zero coupling to the true part)."""
+    n = A.shape[0]
+    n_pad = -(-n // block) * block
+    if n_pad == n:
+        return A, n
+    ext = n_pad - n
+    re = jnp.pad(A.re, ((0, ext), (0, ext)))
+    re = re.at[jnp.arange(n, n_pad), jnp.arange(n, n_pad)].set(1.0)
+    im = jnp.pad(A.im, ((0, ext), (0, ext)))
+    return CX(re, im), n
+
+
+# ---------------------------------------------------------------------------
 # public API
 # ---------------------------------------------------------------------------
 
@@ -208,17 +324,31 @@ def _auto_block(n: int) -> int:
     return 256
 
 
-def lu_factor(A: CX, block: int = 0):
+def lu_factor(A: CX, block: int = 0, loop: str = "auto"):
     """Blocked LU with partial pivoting: P A = L U.
 
     Returns (LU, perm) with L (unit diag) and U packed in LU, and perm the
     row permutation as an index vector (solve uses B[perm]).
     Batched use: `jax.vmap(lu_factor)` over a leading node axis.
     block=0 picks the size from n.
+
+    loop: "unrolled" (python block loop — minimal flops, best for small n),
+    "fori" (single aliased carry buffer + masked full-width trailing GEMMs
+    — bounded memory and fast compiles at large n), "auto" picks by size.
     """
     n = A.shape[0]
-    block = block or _auto_block(n)
     assert A.shape[0] == A.shape[1], "lu_factor expects square matrices"
+    if loop == "auto":
+        loop = "fori" if n > 4096 else "unrolled"
+    if loop == "fori":
+        block = block or 512
+        Ap, n_true = _lu_pad(A, block)
+        LUp, permp = _lu_factor_fori(Ap, block)
+        if Ap.shape[0] != n_true:
+            LUp = CX(LUp.re[:n_true, :n_true], LUp.im[:n_true, :n_true])
+            permp = permp[:n_true]
+        return LUp, permp
+    block = block or _auto_block(n)
     perm = jnp.arange(n)
 
     for j in range(0, n, block):

@@ -190,9 +190,20 @@ def _nlfeast_step(T, LUb, permb, z: CX, zeta: CX, w: CX, X: CX, R: CX,
 # it cannot compact (observed 54 GB of HLO temps at n=9956).
 
 @functools.partial(jax.jit, static_argnames=("mixed",))
-def _chunk_factor(T, z_c: CX, mixed: bool):
-    Tz = T.eval_nodes(z_c, out_dtype=jnp.float32 if mixed else None)
+def _chunk_eval(T, z_c: CX, mixed: bool):
+    return T.eval_nodes(z_c, out_dtype=jnp.float32 if mixed else None)
+
+
+@jax.jit
+def _chunk_lu(Tz: CX):
     return lumod.lu_factor_batched(Tz)
+
+
+def _chunk_factor(T, z_c: CX, mixed: bool):
+    # two programs on purpose: evaluating next to the coefficient stack
+    # and factoring next to the LU workspace in ONE program doubles the
+    # peak (the 16 GB chip is the binding constraint at gun scale)
+    return _chunk_lu(_chunk_eval(T, z_c, mixed))
 
 
 @functools.partial(jax.jit, static_argnames=("first", "mixed", "refine"))
