@@ -120,6 +120,7 @@ class SPMF:
             ci = co.im[j].astype(dt)[:, None, None]
             out = CX(out.re + cr * Ar[None] - ci * Ai[None],
                      out.im + cr * Ai[None] + ci * Ar[None])
+            out = jax.lax.optimization_barrier(out)
         return out
 
     def apply_block(self, z: CX, V: CX) -> CX:
@@ -133,6 +134,10 @@ class SPMF:
             cj = CX(co.re[j], co.im[j])
             out = out + CX(AV.re * cj.re - AV.im * cj.im,
                            AV.re * cj.im + AV.im * cj.re)
+            # serialize the per-term GEMMs: without a barrier XLA schedules
+            # all d independent products (and their f64-emulation splits)
+            # concurrently — ~d x the transient memory, an OOM at gun scale
+            (V, out) = jax.lax.optimization_barrier((V, out))
         return out
 
     def apply_cols(self, X: CX, lam: CX) -> CX:
@@ -142,6 +147,7 @@ class SPMF:
         for j in range(self.d):
             AX = cx.cmatmul(self.mats[j], X)
             out = out + cx.scale_cols(AX, CX(co.re[j], co.im[j]))
+            (X, out) = jax.lax.optimization_barrier((X, out))
         return out
 
     def fro_norms(self, lam: CX) -> jax.Array:
