@@ -379,9 +379,71 @@ def lu_factor(A: CX, block: int = 0, loop: str = "auto"):
     return A, perm
 
 
-def lu_solve(LU: CX, perm, B: CX, block: int = 0) -> CX:
+def _lu_solve_fori(LU: CX, perm, B: CX, block: int) -> CX:
+    """lu_solve via lax.fori_loop over blocks (large n: one carry buffer,
+    tiny compiled graph — the unrolled variant's ~80-block program is the
+    compile-time long pole at n ~ 10^4).  Masked full-width row slabs, so
+    n must be a block multiple (lu_factor's fori path pads; for a trimmed
+    LU we re-pad here with identity extension rows)."""
+    n = LU.shape[0]
+    n_pad = -(-n // block) * block
+    if n_pad != n:
+        ext = n_pad - n
+        LUre = jnp.pad(LU.re, ((0, ext), (0, ext)))
+        LUre = LUre.at[jnp.arange(n, n_pad), jnp.arange(n, n_pad)].set(1.0)
+        LU = CX(LUre, jnp.pad(LU.im, ((0, ext), (0, ext))))
+        perm = jnp.concatenate([perm, jnp.arange(n, n_pad)])
+        B = CX(jnp.pad(B.re, ((0, ext), (0, 0))),
+               jnp.pad(B.im, ((0, ext), (0, 0))))
+    np_, m = B.shape
+    cols = jnp.arange(np_)
+    X = CX(B.re[perm], B.im[perm])
+    nblocks = np_ // block
+
+    def fwd(jb, X):
+        j = jb * block
+        Lrow = CX(lax.dynamic_slice(LU.re, (j, 0), (block, np_)),
+                  lax.dynamic_slice(LU.im, (j, 0), (block, np_)))
+        lmask = (cols < j).astype(LU.dtype)[None, :]
+        Lprev = CX(Lrow.re * lmask, Lrow.im * lmask)
+        upd = cx.cmatmul(Lprev, X)
+        Xd = CX(lax.dynamic_slice(X.re, (j, 0), (block, m)) - upd.re,
+                lax.dynamic_slice(X.im, (j, 0), (block, m)) - upd.im)
+        Ld = CX(lax.dynamic_slice(LU.re, (j, j), (block, block)),
+                lax.dynamic_slice(LU.im, (j, j), (block, block)))
+        Xd = _unit_lower_solve_small(Ld, Xd)
+        return CX(lax.dynamic_update_slice(X.re, Xd.re, (j, 0)),
+                  lax.dynamic_update_slice(X.im, Xd.im, (j, 0)))
+
+    X = lax.fori_loop(0, nblocks, fwd, X)
+
+    def bwd(t, X):
+        jb = nblocks - 1 - t
+        j = jb * block
+        Urow = CX(lax.dynamic_slice(LU.re, (j, 0), (block, np_)),
+                  lax.dynamic_slice(LU.im, (j, 0), (block, np_)))
+        umask = (cols >= j + block).astype(LU.dtype)[None, :]
+        Upost = CX(Urow.re * umask, Urow.im * umask)
+        upd = cx.cmatmul(Upost, X)
+        Xd = CX(lax.dynamic_slice(X.re, (j, 0), (block, m)) - upd.re,
+                lax.dynamic_slice(X.im, (j, 0), (block, m)) - upd.im)
+        Ud = CX(lax.dynamic_slice(LU.re, (j, j), (block, block)),
+                lax.dynamic_slice(LU.im, (j, j), (block, block)))
+        Xd = _upper_solve_small(Ud, Xd)
+        return CX(lax.dynamic_update_slice(X.re, Xd.re, (j, 0)),
+                  lax.dynamic_update_slice(X.im, Xd.im, (j, 0)))
+
+    X = lax.fori_loop(0, nblocks, bwd, X)
+    return CX(X.re[:n], X.im[:n])
+
+
+def lu_solve(LU: CX, perm, B: CX, block: int = 0, loop: str = "auto") -> CX:
     """Solve A X = B given (LU, perm) from `lu_factor`.  B is (n, k)."""
     n = LU.shape[0]
+    if loop == "auto":
+        loop = "fori" if n > 4096 else "unrolled"
+    if loop == "fori":
+        return _lu_solve_fori(LU, perm, B, block or 512)
     block = block or _auto_block(n)
     X = CX(B.re[perm], B.im[perm])
     # forward: L X = B  (unit lower)
