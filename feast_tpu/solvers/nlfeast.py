@@ -206,18 +206,70 @@ def _chunk_factor(T, z_c: CX, mixed: bool):
     return _chunk_lu(_chunk_eval(T, z_c, mixed))
 
 
-@functools.partial(jax.jit, static_argnames=("first", "mixed", "refine"))
-def _chunk_terms(T, LUb, permb, z_c: CX, zeta_c: CX, w_c: CX, X: CX, R: CX,
-                 lam: CX, first: bool, mixed: bool, refine: int = 2):
-    return _node_terms(T, LUb, permb, z_c, zeta_c, w_c, X, R, lam, first,
-                       mixed, refine)
+@jax.jit
+def _chunk_solve_shared(LUb, permb, Bm: CX) -> CX:
+    """All chunk nodes solve against the SAME right-hand side block."""
+    out = jax.vmap(lambda LU, p: lumod.lu_solve(LU, p,
+                                                Bm.astype(LUb.dtype)))(
+        LUb, permb)
+    return out.astype(Bm.dtype)
+
+
+@jax.jit
+def _chunk_solve_each(LUb, permb, Bc: CX) -> CX:
+    """Per-node right-hand sides (the iterative-refinement corrections)."""
+    out = jax.vmap(lambda LU, p, Bm: lumod.lu_solve(LU, p,
+                                                    Bm.astype(LUb.dtype)))(
+        LUb, permb, Bc)
+    return out.astype(Bc.dtype)
+
+
+@jax.jit
+def _chunk_resid(T, z_c: CX, t: CX, Bm: CX) -> CX:
+    return jax.vmap(lambda zr, zi_, ti: Bm - T.apply_block(CX(zr, zi_), ti))(
+        z_c.re, z_c.im, t)
+
+
+@functools.partial(jax.jit, static_argnames=("first",))
+def _chunk_terms_post(t: CX, z_c: CX, zeta_c: CX, w_c: CX, X: CX, lam: CX,
+                      first: bool):
+    def one(ti, zi, zetai, wi):
+        if first:
+            term = cx.scale_cols(ti, CX(jnp.broadcast_to(wi.re, (X.shape[1],)),
+                                        jnp.broadcast_to(wi.im, (X.shape[1],))))
+        else:
+            resv = cx.cdiv(CX(jnp.broadcast_to(wi.re, lam.shape),
+                              jnp.broadcast_to(wi.im, lam.shape)),
+                           CX(zi.re - lam.re, zi.im - lam.im))
+            term = cx.scale_cols(X - ti, resv)
+        q1 = cx.scale_cols(term, CX(jnp.broadcast_to(zetai.re, (X.shape[1],)),
+                                    jnp.broadcast_to(zetai.im, (X.shape[1],))))
+        return term, q1
+
+    q0s, q1s = jax.vmap(one)(t, z_c, zeta_c, w_c)
+    return (CX(jnp.sum(q0s.re, 0), jnp.sum(q0s.im, 0)),
+            CX(jnp.sum(q1s.re, 0), jnp.sum(q1s.im, 0)))
 
 
 def _nlfeast_chunk(T, z_c: CX, zeta_c: CX, w_c: CX, X: CX, R: CX, lam: CX,
                    first: bool, mixed: bool, refine: int = 2):
+    """store=False chunk pipeline, HOST-composed from small programs:
+    evaluate -> factor -> solve (+ iterative refinement) -> term sums.
+
+    Deliberately NOT one fused jit: at gun scale (n=9956 on a 15.75 GB
+    v5e) any mega-graph over the chunk gives the XLA scheduler live ranges
+    it cannot compact (observed 41-54 GB of HLO temps across three
+    formulations); five small programs with persistent arguments peak
+    under the chip's HBM, and every shape is reused across chunks and
+    iterations so the per-program dispatch cost amortizes."""
     LUb, permb = _chunk_factor(T, z_c, mixed)
-    return _chunk_terms(T, LUb, permb, z_c, zeta_c, w_c, X, R, lam, first,
-                        mixed, refine)
+    Bm = X if first else R
+    t = _chunk_solve_shared(LUb, permb, Bm)
+    if mixed:
+        for _ in range(refine):
+            r = _chunk_resid(T, z_c, t, Bm)
+            t = t + _chunk_solve_each(LUb, permb, r)
+    return _chunk_terms_post(t, z_c, zeta_c, w_c, X, lam, first)
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "params", "scale"))
