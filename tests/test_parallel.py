@@ -127,3 +127,26 @@ def test_feast_sliced_parallel_matches_sequential():
             assert s == "", f"non-scalar all-reduce across slices: {s}"
     # per-device parameter shapes carry S/d = 1 slice of the LU batch
     assert f"f64[1,8,{n},{n}]" in txt, "slice batch not partitioned"
+
+
+def test_feast_sliced_parallel_generalized():
+    """Slice-parallel driver with a generalized pencil (B != None)."""
+    from jax.sharding import Mesh
+
+    from feast_tpu.parallel import feast_sliced_parallel
+    from feast_tpu.problems import laplacian_1d
+
+    n = 100
+    A = laplacian_1d(n)
+    i = np.arange(n)
+    B = np.diag(1.0 + 0.5 * np.sin(i)).astype(np.complex128)
+    import scipy.linalg as sla
+
+    w = np.sort(sla.eigh(A, B, eigvals_only=True))
+    lo, hi = 0.0, float(w[14] + 0.3 * (w[15] - w[14]))
+    want = w[(w > lo) & (w < hi)]
+    mesh = Mesh(np.array(jax.devices()[:2]), axis_names=("slice",))
+    out = feast_sliced_parallel(A, (lo, hi), 2, B=B, nodes=8, iters=25,
+                                tol=1e-11, mesh=mesh)
+    np.testing.assert_allclose(np.sort(out.lam.real), want, atol=1e-8)
+    assert out.res.max() < 1e-10
