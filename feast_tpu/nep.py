@@ -67,21 +67,27 @@ class SPMF:
         dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
         self.funcs: List[Callable] = [f for _, f in terms]
         mats = []
+        hosts = []  # numpy view of each matrix, for the host-side Gram
         for A, _ in terms:
             if isinstance(A, CX):
+                hosts.append(cx.to_numpy(A))  # one pull per CX input
                 mats.append(A)
             else:
-                mats.append(cx.from_numpy(np.asarray(A), dtype))
+                An = np.asarray(A)
+                hosts.append(An)
+                mats.append(cx.from_numpy(An, dtype))
         self.mats: List[CX] = mats
         self.n = mats[0].shape[0]
         self.d = len(mats)
-        # Gram tensor for Frobenius norms: G_jk = sum conj(A_j) * A_k
+        # Gram tensor for Frobenius norms: G_jk = <A_j, A_k>_F.  Computed on
+        # HOST from the numpy inputs: doing it from self.mats costs d^2 full
+        # device->host matrix transfers (minutes over the remote-TPU tunnel
+        # at gun scale, n~1e4).
         G = np.empty((self.d, self.d), dtype=np.complex128)
         for j in range(self.d):
-            for k in range(self.d):
-                Aj = cx.to_numpy(mats[j])
-                Ak = cx.to_numpy(mats[k])
-                G[j, k] = np.sum(np.conj(Aj) * Ak)
+            for k in range(j, self.d):
+                G[j, k] = np.sum(np.conj(hosts[j]) * hosts[k])
+                G[k, j] = np.conj(G[j, k])
         self._gram = cx.from_numpy(G, dtype)
 
     # -- evaluation ---------------------------------------------------------

@@ -216,22 +216,32 @@ def gun_like(n: int = 256, seed: int = 0,
             v /= np.linalg.norm(v)
             w = K @ v
             K = K - 2.0 * (v @ w.T) - 2.0 * (w @ v.T) \
-                + 4.0 * float(v.T @ w) * (v @ v.T)
+                + 4.0 * float((v * w).sum()) * (v @ v.T)
         M = np.eye(n)
         # nonlinear terms sized to shift cluster eigenvalues visibly
         # (O(spacing)) without dissolving the cluster: ||f(z) W|| ~ 1
         wscale = 0.6 / np.sqrt(lo)
     # boundary-coupling rank grows with n in the real gun (surface dofs)
     rk = 4 if planted is None else max(4, n // 64)
-    W1 = rng.standard_normal((n, rk)) @ rng.standard_normal((rk, n))
-    W2 = rng.standard_normal((n, rk)) @ rng.standard_normal((rk, n))
+
+    def _lowrank(scale2=None):
+        U = rng.standard_normal((n, rk))
+        V = rng.standard_normal((rk, n))
+        if scale2 is not None:
+            # ||UV||_2 from the rk x rk product: nonzero eigs of
+            # (UV)^T UV = V^T(U^T U)V equal eigs of (U^T U)(V V^T) —
+            # a dense-2-norm SVD here is O(n^3) (~17 min at n=9956)
+            s2max = np.linalg.eigvals((U.T @ U) @ (V @ V.T)).real.max()
+            U = U * (scale2 / np.sqrt(s2max))
+        return U @ V
+
     if planted is None:
-        W1 = W1 / n
-        W2 = W2 / n
+        W1 = _lowrank() / n
+        W2 = _lowrank() / n
         s1, s2 = 0.0, 108.8774  # gun's branch points (0 and 108.8774^2)
     else:
-        W1 *= wscale / np.linalg.norm(W1, 2)
-        W2 *= wscale / np.linalg.norm(W2, 2)
+        W1 = _lowrank(scale2=wscale)
+        W2 = _lowrank(scale2=wscale)
         # both branch points BELOW the cluster, like the real gun whose
         # contour (c=140000 > s2^2=11854.5) sits above both cuts — a
         # contour crossing a sqrt cut is non-analytic and the moment
