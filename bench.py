@@ -168,6 +168,27 @@ def gun_small(n=4096):
     return r
 
 
+def _aux_metric(fn_name, timeout_s=2400):
+    """Run an aux metric in a SUBPROCESS: a remote-TPU worker crash inside
+    one metric must not poison the backend for the rest of the bench (a
+    dead axon backend fails every subsequent dispatch in-process)."""
+    import subprocess
+
+    code = ("import bench, json; bench._setup_jax(); "
+            f"print('\\nAUXJSON ' + json.dumps(bench.{fn_name}()))")
+    try:
+        p = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           text=True, timeout=timeout_s,
+                           cwd=os.path.dirname(os.path.abspath(__file__)))
+        for line in p.stdout.splitlines():
+            if line.startswith("AUXJSON "):
+                return json.loads(line[len("AUXJSON "):])
+        return {"error": "no output", "rc": p.returncode,
+                "stderr": p.stderr[-500:]}
+    except Exception as e:
+        return {"error": repr(e)}
+
+
 def main():
     _setup_jax()
     A, X0, c, r = _problem()
@@ -179,14 +200,8 @@ def main():
         "lapack_cpu": {"wall_s": round(base_s, 4),
                        "max_res_inside": base_res, "iters": base_it},
     }
-    try:
-        detail["sparse_solve_nnz_per_s"] = sparse_nnz_per_s()
-    except Exception as e:  # never let an aux metric kill the bench
-        detail["sparse_solve_nnz_per_s"] = {"error": repr(e)}
-    try:
-        detail["gun_like_4096"] = gun_small()
-    except Exception as e:
-        detail["gun_like_4096"] = {"error": repr(e)}
+    detail["sparse_solve_nnz_per_s"] = _aux_metric("sparse_nnz_per_s")
+    detail["gun_like_4096"] = _aux_metric("gun_small")
     print(json.dumps({
         "metric": "dense_feast_2048_wall_to_1e-10",
         "value": round(wall_s, 4),

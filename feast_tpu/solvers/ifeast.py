@@ -38,29 +38,37 @@ from .feast import FeastResult, _in_mask, _debug_print
 
 
 def _to_op(A, dtype):
-    """Dense arrays -> CX; scipy sparse -> CSR; CSR/CX pass through."""
-    if A is None or isinstance(A, (CX, spmod.CSR)):
-        return A
-    try:
-        import scipy.sparse as sp
-        if sp.issparse(A):
-            return spmod.CSR.from_scipy(A, dtype)
-    except ImportError:
-        pass
-    return cx.from_numpy(np.asarray(A, dtype=np.complex128), dtype)
+    """Dense arrays -> CX; scipy sparse -> DIA (banded) or CSR;
+    CSR/DIA/CX pass through (sparse.as_operator)."""
+    return spmod.as_operator(A, dtype)
 
 
 def _apply(M, X: CX) -> CX:
     if M is None:
         return X
-    if isinstance(M, spmod.CSR):
+    if isinstance(M, (spmod.CSR, spmod.DIA)):
         return M.matvec(X)
     return cx.cmatmul(M, X)
 
 
 def _raw_matrix(A):
     """Recover a scipy/numpy matrix for host-side AMG setup from whatever
-    the caller passed (scipy sparse, dense, CX, or a CSR operator)."""
+    the caller passed (scipy sparse, dense, CX, or a CSR/DIA operator)."""
+    if isinstance(A, spmod.DIA):
+        import scipy.sparse as sp
+
+        D = cx.to_numpy(A.data)  # row-indexed (ndiag, n)
+        n, m = A.shape
+        rows, cols, vals = [], [], []
+        for k, off in enumerate(A.offsets):
+            i = np.arange(max(0, -off), min(n, m - off))
+            rows.append(i)
+            cols.append(i + off)
+            vals.append(D[k, i])
+        return sp.coo_matrix(
+            (np.concatenate(vals), (np.concatenate(rows),
+                                    np.concatenate(cols))),
+            shape=A.shape).tocsr()
     if isinstance(A, spmod.CSR):
         import scipy.sparse as sp
 

@@ -58,6 +58,76 @@ def test_csr_matvec_matches_dense():
     np.testing.assert_allclose(d, np.diag(Ad), atol=1e-15)
 
 
+def test_dia_matvec_matches_dense():
+    rng = np.random.default_rng(5)
+    n = 64
+    # banded non-symmetric complex: offsets {-3, -1, 0, 2}
+    diags = [_rand_c(rng, n) for _ in range(4)]
+    Ad = sp.diags(
+        [diags[0][:n - 3], diags[1][:n - 1], diags[2], diags[3][:n - 2]],
+        [-3, -1, 0, 2]).toarray()
+    A = spmod.DIA.from_scipy(sp.csr_matrix(Ad))
+    assert sorted(A.offsets) == [-3, -1, 0, 2]
+    X = _rand_c(rng, n, 7)
+    got = cx.to_numpy(A.matvec(cx.from_numpy(X)))
+    np.testing.assert_allclose(got, Ad @ X, atol=1e-13)
+    np.testing.assert_allclose(cx.to_numpy(A.diagonal()), np.diag(Ad),
+                               atol=1e-15)
+    np.testing.assert_allclose(cx.to_numpy(A.todense()), Ad, atol=1e-15)
+    # jit with DIA as an argument (pytree with static offsets)
+    got2 = cx.to_numpy(jax.jit(lambda M, X: M.matvec(X))(
+        A, cx.from_numpy(X)))
+    np.testing.assert_allclose(got2, Ad @ X, atol=1e-13)
+
+
+def test_dia_rectangular_and_from_csr():
+    rng = np.random.default_rng(6)
+    n, m = 40, 56  # rectangular: offsets reach past the square part
+    Ad = np.zeros((n, m), dtype=np.complex128)
+    for off in (-2, 0, 13, 20):
+        i = np.arange(max(0, -off), min(n, m - off))
+        Ad[i, i + off] = _rand_c(rng, len(i))
+    A = spmod.DIA.from_scipy(sp.csr_matrix(Ad))
+    X = _rand_c(rng, m, 5)
+    np.testing.assert_allclose(cx.to_numpy(A.matvec(cx.from_numpy(X))),
+                               Ad @ X, atol=1e-13)
+    # CSR -> DIA roundtrip
+    A2 = spmod.DIA.from_csr(spmod.CSR.from_scipy(sp.csr_matrix(Ad)))
+    np.testing.assert_allclose(cx.to_numpy(A2.matvec(cx.from_numpy(X))),
+                               Ad @ X, atol=1e-13)
+
+
+def test_as_operator_picks_dia_for_banded():
+    n = 200
+    L = sp.diags([np.full(n, 2.0), -np.ones(n - 1), -np.ones(n - 1)],
+                 [0, 1, -1], format="csr").astype(np.complex128)
+    op = spmod.as_operator(L)
+    assert isinstance(op, spmod.DIA)
+    R = sp.random(n, n, density=0.05, random_state=0,
+                  dtype=np.float64).astype(np.complex128).tocsr()
+    assert isinstance(spmod.as_operator(R), spmod.CSR)
+
+
+def test_feast_iterative_accepts_dia():
+    """Same slice as the CSR test above, but fed a pre-built DIA operator —
+    the driver must route SpMMs through the shifted-slice path."""
+    rng = np.random.default_rng(0)
+    n = 300
+    L = sp.diags([np.full(n, 2.0), -np.ones(n - 1), -np.ones(n - 1)],
+                 [0, 1, -1], format="csr").astype(np.complex128)
+    op = spmod.as_operator(L)
+    assert isinstance(op, spmod.DIA)
+    X0 = _rand_c(rng, n, 24)
+    out = ft.feast_iterative(op, None, X0, c=0.02 + 0j, r=0.02, nodes=8,
+                             iters=25, tol=1e-9)
+    lam, _, r = out.filtered()
+    exact = 2.0 - 2.0 * np.cos(np.pi * np.arange(1, n + 1) / (n + 1))
+    want = np.sort(exact[(exact > 0.0) & (exact < 0.04)])
+    assert len(lam) == len(want)
+    assert r.max() < 1e-9
+    np.testing.assert_allclose(np.sort(lam.real), want, atol=1e-10)
+
+
 def test_jacobi_preconditioned_shifted_solve():
     rng = np.random.default_rng(5)
     n = 200
