@@ -127,10 +127,9 @@ def sparse_nnz_per_s(n=1_000_000, m0=16, reps=3):
     h = amgmod.build_amg(A)
     # hierarchy SpMM work per V-cycle application (nu=2 pre + post + 2
     # residuals + P + R per level), counted in nonzeros touched
-    lvl_nnz = [int(L.indices.shape[0]) for L in h.levels]
-    p_nnz = [int(L.P_indices.shape[0]) for L in h.levels]
+    lvl_nnz, p_nnz = amgmod.hierarchy_nnz(h)
     vcycle_nnz = sum(6 * a + 2 * p for a, p in zip(lvl_nnz, p_nnz))
-    Ac = spmod.CSR.from_scipy(A)
+    Ac = spmod.as_operator(A)  # tridiagonal -> DIA (shifted-slice SpMM)
     rng = np.random.default_rng(0)
     b = cx.from_numpy(rng.standard_normal((n, m0))
                       + 1j * rng.standard_normal((n, m0)), jnp.float64)

@@ -46,28 +46,39 @@ from ..cx import CX
 
 class AMGLevel(NamedTuple):
     """One hierarchy level.  All arrays are device-resident; static shapes
-    carry the level sizes (segment_sum num_segments comes from dA.shape)."""
+    carry the level sizes.
 
-    # union-pattern CSR of A_l and B_l (same indices/rows for both)
-    indices: jax.Array   # (nnz,) int32 column ids
-    row_ids: jax.Array   # (nnz,) int32 row ids
-    Adata: CX            # (nnz,)
-    Bdata: CX            # (nnz,)
+    A_op/B_op share one union sparsity STRUCTURE (identical CSR
+    indices/rows, or identical DIA offsets) so S_l(z) = A_l - z B_l is an
+    elementwise combination of their data.  Banded levels are stored DIA
+    (shifted-slice SpMM: no (nnz, m) gathered temp, runs at streaming
+    bandwidth — decisive at the 1M-dof scale where the gather temps alone
+    approach the HBM size); irregular levels stay CSR."""
+
+    A_op: object         # sparse.CSR or sparse.DIA, union pattern
+    B_op: object         # same class/structure as A_op
     dA: CX               # (n,) diagonal of A_l
     dB: CX               # (n,) diagonal of B_l
-    # prolongation P: (n, nc) and restriction R = P^H: (nc, n)
-    P_indices: jax.Array
-    P_row_ids: jax.Array
-    P_data: CX
-    R_indices: jax.Array
-    R_row_ids: jax.Array
-    R_data: CX
+    P: object            # prolongation (n, nc) operator
+    R: object            # restriction  (nc, n) = P^H
 
 
 class AMG(NamedTuple):
     levels: Tuple[AMGLevel, ...]
     Ac: CX  # coarsest-level dense A
     Bc: CX  # coarsest-level dense B
+
+
+def _shifted_op(A_op, B_op, z: CX):
+    """S = A - z*B on the shared structure: same class, combined data."""
+    from .sparse import CSR, DIA
+
+    a, b = A_op.data, B_op.data
+    d = CX(a.re - (z.re * b.re - z.im * b.im),
+           a.im - (z.re * b.im + z.im * b.re))
+    if isinstance(A_op, DIA):
+        return DIA(d, A_op.offsets, A_op.shape)
+    return CSR(d, A_op.indices, A_op.row_ids, A_op.shape)
 
 
 # ---------------------------------------------------------------------------
@@ -209,22 +220,56 @@ def build_amg(A, B=None, *, theta: float = 0.08, omega: float = 2.0 / 3.0,
                cx.from_numpy(Bc, dtype))
 
 
+def _pair_ops(Au, Bu, dtype, dia_fill: float = 0.45):
+    """Build the (A, B) union-pattern operator pair — DIA when the union
+    pattern is banded densely enough, else CSR.  Both must share one
+    structure so S(z) combines their data arrays elementwise."""
+    from .sparse import CSR, DIA
+
+    coo = Au.tocoo()  # Au/Bu share the stored pattern (union construction)
+    offs = np.unique(coo.col.astype(np.int64) - coo.row.astype(np.int64))
+    if len(offs) * Au.shape[0] * dia_fill <= Au.nnz:
+        A_op = DIA.from_scipy(Au, dtype)
+        B_op = DIA.from_scipy(Bu, dtype)
+        if A_op.offsets == B_op.offsets:
+            return A_op, B_op
+        # scipy pruned a diagonal from one of them: rebuild on the union
+        offs = tuple(sorted(set(A_op.offsets) | set(B_op.offsets)))
+
+        def on(off_union, op):
+            n = op.data.re.shape[1]
+            re = np.zeros((len(off_union), n), dtype=op.data.re.dtype)
+            im = np.zeros_like(re)
+            for k, off in enumerate(op.offsets):
+                j = off_union.index(off)
+                re[j] = np.asarray(op.data.re[k])
+                im[j] = np.asarray(op.data.im[k])
+            return DIA(CX(jnp.asarray(re), jnp.asarray(im)), off_union,
+                       op.shape)
+
+        return on(offs, A_op), on(offs, B_op)
+    return CSR.from_scipy(Au, dtype), CSR.from_scipy(Bu, dtype)
+
+
+def _csr_op(M, dtype):
+    from .sparse import CSR
+
+    return CSR.from_scipy(M, dtype)
+
+
 def _make_level(Au, Bu, P, R, dtype) -> AMGLevel:
     dA = np.asarray(Au.diagonal(), dtype=np.complex128)
     dB = np.asarray(Bu.diagonal(), dtype=np.complex128)
+    A_op, B_op = _pair_ops(Au, Bu, dtype)
     return AMGLevel(
-        indices=jnp.asarray(Au.indices, jnp.int32),
-        row_ids=jnp.asarray(_csr_rows(Au), jnp.int32),
-        Adata=_to_cx_data(Au.data, dtype),
-        Bdata=_to_cx_data(Bu.data, dtype),
+        A_op=A_op,
+        B_op=B_op,
         dA=_to_cx_data(dA, dtype),
         dB=_to_cx_data(dB, dtype),
-        P_indices=jnp.asarray(P.indices, jnp.int32),
-        P_row_ids=jnp.asarray(_csr_rows(P), jnp.int32),
-        P_data=_to_cx_data(P.data, dtype),
-        R_indices=jnp.asarray(R.indices, jnp.int32),
-        R_row_ids=jnp.asarray(_csr_rows(R), jnp.int32),
-        R_data=_to_cx_data(R.data, dtype),
+        # P/R column structure tracks the aggregate map (col ~ row/3 for a
+        # 1-D chain) — not constant-offset diagonals, so they stay CSR
+        P=_csr_op(P, dtype),
+        R=_csr_op(R, dtype),
     )
 
 
@@ -232,14 +277,11 @@ def _make_level(Au, Bu, P, R, dtype) -> AMGLevel:
 # device-side apply
 # ---------------------------------------------------------------------------
 
-def _spmm(data: CX, indices, row_ids, n_out: int, X: CX) -> CX:
-    """Y = M @ X for CSR-as-COO (gather + segment_sum, same scheme as
-    ops/sparse.CSR.matvec)."""
-    Xg = CX(X.re[indices], X.im[indices])
-    prod = CX(data.re[:, None] * Xg.re - data.im[:, None] * Xg.im,
-              data.re[:, None] * Xg.im + data.im[:, None] * Xg.re)
-    return CX(jax.ops.segment_sum(prod.re, row_ids, num_segments=n_out),
-              jax.ops.segment_sum(prod.im, row_ids, num_segments=n_out))
+def hierarchy_nnz(amg: AMG):
+    """(stored S-entries, stored P-entries) per level — work accounting for
+    nnz/s metrics.  DIA levels count stored diagonal entries."""
+    return ([int(L.A_op.nnz) for L in amg.levels],
+            [int(L.P.nnz) for L in amg.levels])
 
 
 def shifted_preconditioner(amg: AMG, z: CX, *, nu: int = 2,
@@ -257,7 +299,7 @@ def shifted_preconditioner(amg: AMG, z: CX, *, nu: int = 2,
         return CX(a.re - (z.re * b.re - z.im * b.im),
                   a.im - (z.re * b.im + z.im * b.re))
 
-    Sdata = [shift_data(L.Adata, L.Bdata) for L in amg.levels]
+    S = [_shifted_op(L.A_op, L.B_op, z) for L in amg.levels]
     dinv = []
     for L in amg.levels:
         d = shift_data(L.dA, L.dB)
@@ -273,10 +315,8 @@ def shifted_preconditioner(amg: AMG, z: CX, *, nu: int = 2,
     LUc, permc = lumod.lu_factor(Sc)
 
     def smooth(l: int, x: CX, r: CX, steps: int) -> CX:
-        L = amg.levels[l]
-        n_l = L.dA.re.shape[0]
         for _ in range(steps):
-            resid = r - _spmm(Sdata[l], L.indices, L.row_ids, n_l, x)
+            resid = r - S[l].matvec(x)
             corr = CX(resid.re * dinv[l].re[:, None]
                       - resid.im * dinv[l].im[:, None],
                       resid.re * dinv[l].im[:, None]
@@ -288,24 +328,16 @@ def shifted_preconditioner(amg: AMG, z: CX, *, nu: int = 2,
         if l == len(amg.levels):
             return lumod.lu_solve(LUc, permc, r)
         L = amg.levels[l]
-        n_l = L.dA.re.shape[0]
-        nc = amg.levels[l + 1].dA.re.shape[0] if l + 1 < len(amg.levels) \
-            else amg.Ac.re.shape[0]
         x = smooth(l, cx.zeros(r.shape, r.dtype), r, nu)
-        rc = _spmm(L.R_data, L.R_indices, L.R_row_ids, nc,
-                   r - _spmm(Sdata[l], L.indices, L.row_ids, n_l, x))
+        rc = L.R.matvec(r - S[l].matvec(x))
         xc = vcycle(l + 1, rc)
-        x = x + _spmm(L.P_data, L.P_indices, L.P_row_ids, n_l, xc)
+        x = x + L.P.matvec(xc)
         return smooth(l, x, r, nu)
 
     def M(X: CX) -> CX:
         out = vcycle(0, X)
         for _ in range(cycles - 1):
-            L0 = amg.levels[0] if amg.levels else None
-            if L0 is None:
-                break
-            n0 = L0.dA.re.shape[0]
-            resid = X - _spmm(Sdata[0], L0.indices, L0.row_ids, n0, out)
+            resid = X - S[0].matvec(out)
             out = out + vcycle(0, resid)
         return out
 

@@ -37,6 +37,28 @@ def test_union_pair_alignment():
     np.testing.assert_array_equal(Bu.toarray(), B.toarray())
 
 
+def test_banded_levels_use_dia():
+    """A banded fine matrix must produce DIA level operators (the
+    shifted-slice SpMM path — no gather temps at the 1M-dof scale), with
+    matching A/B structure; P/R stay CSR (aggregate-map columns)."""
+    n = 3000
+    h = amgmod.build_amg(lap1d(n))
+    assert len(h.levels) >= 1
+    L0 = h.levels[0]
+    assert isinstance(L0.A_op, spmod.DIA) and isinstance(L0.B_op, spmod.DIA)
+    assert L0.A_op.offsets == L0.B_op.offsets
+    assert isinstance(L0.P, spmod.CSR)
+    # the union structure must reproduce A - z B exactly
+    z = cx.CX(jnp.asarray(0.3), jnp.asarray(0.1))
+    S = amgmod._shifted_op(L0.A_op, L0.B_op, z)
+    X = cx.from_numpy(np.random.default_rng(1).standard_normal((n, 3))
+                      + 0j)
+    got = cx.to_numpy(S.matvec(X))
+    A = lap1d(n).toarray()
+    want = (A - complex(0.3, 0.1) * np.eye(n)) @ cx.to_numpy(X)
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
 def test_vcycle_contracts():
     """One V-cycle must reduce the residual by a large factor on a
     moderately shifted Laplacian (smoke test of the cycle itself)."""
