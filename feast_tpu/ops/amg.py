@@ -173,16 +173,17 @@ def _to_cx_data(data: np.ndarray, dtype) -> CX:
     return CX(jnp.asarray(data.real, dtype), jnp.asarray(data.imag, dtype))
 
 
-def build_amg(A, B=None, *, theta: float = 0.08, omega: float = 2.0 / 3.0,
-              smooth: bool = True, max_coarse: int = 600,
-              max_levels: int = 20, dtype=None) -> AMG:
-    """Build the shift-independent hierarchy from scipy-sparse (or dense)
-    A and optional B (defaults to identity).  Host-side; returns device
-    arrays ready for `shifted_preconditioner`."""
+def build_amg_host(A, B=None, *, theta: float = 0.08,
+                   omega: float = 2.0 / 3.0, smooth: bool = True,
+                   max_coarse: int = 600, max_levels: int = 20):
+    """Host-side (scipy) hierarchy construction shared by the replicated
+    (`build_amg`) and row-sharded (`parallel.rowsharded`) finalizers.
+
+    Returns (levels, Ac, Bc) where levels is a list of (Au, Bu, P, R)
+    scipy-CSR tuples — Au/Bu on their union pattern (identical
+    indices/indptr) — and Ac/Bc are the coarsest-level dense numpy pair."""
     import scipy.sparse as sp
 
-    dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64
-                      else jnp.float32)
     A_l = sp.csr_matrix(A).astype(np.complex128)
     n = A_l.shape[0]
     B_l = (sp.identity(n, dtype=np.complex128, format="csr") if B is None
@@ -210,12 +211,28 @@ def build_amg(A, B=None, *, theta: float = 0.08, omega: float = 2.0 / 3.0,
             P = (P - omega * (Dinv @ (A_l @ P))).tocsr()
         R = P.conj().T.tocsr()
         Au, Bu = _union_pair(A_l, B_l)
-        levels.append(_make_level(Au, Bu, P, R, dtype))
+        levels.append((Au, Bu, P, R))
         A_l = (R @ A_l @ P).tocsr()
         B_l = (R @ B_l @ P).tocsr()
 
     Ac = np.asarray(A_l.todense(), dtype=np.complex128)
     Bc = np.asarray(B_l.todense(), dtype=np.complex128)
+    return levels, Ac, Bc
+
+
+def build_amg(A, B=None, *, theta: float = 0.08, omega: float = 2.0 / 3.0,
+              smooth: bool = True, max_coarse: int = 600,
+              max_levels: int = 20, dtype=None) -> AMG:
+    """Build the shift-independent hierarchy from scipy-sparse (or dense)
+    A and optional B (defaults to identity).  Host-side; returns device
+    arrays ready for `shifted_preconditioner`."""
+    dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64
+                      else jnp.float32)
+    host_levels, Ac, Bc = build_amg_host(
+        A, B, theta=theta, omega=omega, smooth=smooth,
+        max_coarse=max_coarse, max_levels=max_levels)
+    levels = [_make_level(Au, Bu, P, R, dtype)
+              for (Au, Bu, P, R) in host_levels]
     return AMG(tuple(levels), cx.from_numpy(Ac, dtype),
                cx.from_numpy(Bc, dtype))
 

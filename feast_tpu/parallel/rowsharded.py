@@ -104,6 +104,146 @@ def _gather_rows(Y_loc: CX, axis: str) -> CX:
               lax.all_gather(Y_loc.im, axis, tiled=True))
 
 
+# ---------------------------------------------------------------------------
+# row-sharded AMG (V-cycle with shard-local SpMM at every level)
+# ---------------------------------------------------------------------------
+
+class _AMGMeta(NamedTuple):
+    """Static per-level sizes for the sharded hierarchy (closed over by the
+    shard_map body — never traced)."""
+
+    n: int          # fine dimension of this level
+    n_pad: int
+    rows_loc: int
+    nc: int         # coarse dimension (= next level's n)
+    nc_pad: int
+    crows_loc: int
+
+
+def build_sharded_amg(A, B, d_row: int, dtype, **build_opts):
+    """Row-partition the SA-AMG hierarchy (ops/amg.build_amg_host) so every
+    level's SpMM stays shard-local on the `row` mesh axis.
+
+    Per level: the union-pattern (A_l, B_l) data pair shares ONE partitioned
+    (cols, rows) structure (S_l(z) = A_l - z B_l stays elementwise on the
+    local shard); P is partitioned by fine rows, R by coarse rows — both
+    using the same ceil-division padding as the matching level, so V-cycle
+    vectors keep one padded shape per level.  Diagonals are replicated
+    (padding rows get dA=1, dB=0 so the Jacobi inverse is benign there).
+
+    Returns (arrays, specs, meta): a pytree of device arrays, the matching
+    shard_map PartitionSpec pytree, and the static size metadata."""
+    from ..ops import amg as amgmod
+
+    host_levels, Ac, Bc = amgmod.build_amg_host(A, B, **build_opts)
+    arrays, specs, meta = [], [], []
+    sh = P("row", None)
+    rep = P(None)
+    for (Au, Bu, Pm, Rm) in host_levels:
+        Ab = partition_csr(Au, d_row, dtype)
+        Bb = partition_csr(Bu, d_row, dtype)
+        Pb = partition_csr(Pm, d_row, dtype)
+        Rb = partition_csr(Rm, d_row, dtype)
+        n, nc = Au.shape[0], Rm.shape[0]
+        dA = np.ones(Ab.n_pad, dtype=np.complex128)
+        dA[:n] = Au.diagonal()
+        dB = np.zeros(Ab.n_pad, dtype=np.complex128)
+        dB[:n] = Bu.diagonal()
+        arrays.append((Ab.data, Bb.data, Ab.cols, Ab.rows,
+                       Pb.data, Pb.cols, Pb.rows,
+                       Rb.data, Rb.cols, Rb.rows,
+                       cx.from_numpy(dA, dtype), cx.from_numpy(dB, dtype)))
+        specs.append((sh, sh, sh, sh, sh, sh, sh, sh, sh, sh, rep, rep))
+        meta.append(_AMGMeta(n=n, n_pad=Ab.n_pad, rows_loc=Ab.rows_loc,
+                             nc=nc, nc_pad=Rb.n_pad, crows_loc=Rb.rows_loc))
+    arrays.append((cx.from_numpy(Ac, dtype), cx.from_numpy(Bc, dtype)))
+    specs.append((P(None, None), P(None, None)))
+    return tuple(arrays), tuple(specs), tuple(meta)
+
+
+def _shift_data(a: CX, b: CX, z: CX) -> CX:
+    return CX(a.re - (z.re * b.re - z.im * b.im),
+              a.im - (z.re * b.im + z.im * b.re))
+
+
+def _sharded_amg_M(amg_loc, meta, z: CX, *, nu: int = 2,
+                   omega: float = 2.0 / 3.0, cycles: int = 1):
+    """V-cycle preconditioner M ≈ (A - zB)^{-1} running INSIDE shard_map:
+    every level SpMM is shard-local + one vector-block all_gather over
+    `row`; the coarse dense LU is computed redundantly on every shard
+    (replicated arithmetic).  Mirrors ops/amg.shifted_preconditioner."""
+    from ..ops import lu as lumod
+
+    levels = amg_loc[:-1]
+    Ac, Bc = amg_loc[-1]
+    nlev = len(levels)
+
+    S, Pops, Rops, dinv = [], [], [], []
+    for lev, mt in zip(levels, meta):
+        (Adat, Bdat, cols, rows, Pd, Pc, Pr, Rd, Rc, Rr, dA, dB) = lev
+        S.append((_shift_data(CX(Adat.re[0], Adat.im[0]),
+                              CX(Bdat.re[0], Bdat.im[0]), z),
+                  cols[0], rows[0]))
+        Pops.append((CX(Pd.re[0], Pd.im[0]), Pc[0], Pr[0]))
+        Rops.append((CX(Rd.re[0], Rd.im[0]), Rc[0], Rr[0]))
+        d = _shift_data(dA, dB, z)
+        mag = cx.abs2(d)
+        eps = jnp.finfo(d.re.dtype).eps
+        scale = jnp.maximum(jnp.sqrt(jnp.max(mag)), 1.0)
+        d = cx.where(mag > 0, d, CX(jnp.full_like(d.re, eps * scale),
+                                    jnp.zeros_like(d.im)))
+        dinv.append(cx.creciprocal(d))
+    Sc = _shift_data(Ac, Bc, z)
+    LUc, permc = lumod.lu_factor(Sc)
+    ncoarse = Sc.re.shape[0]
+
+    def spmm_full(op, rows_loc, n, n_pad, X: CX) -> CX:
+        data, cols, rows = op
+        Y = _gather_rows(_local_spmm(data, cols, rows, rows_loc, X), "row")
+        mask = (jnp.arange(n_pad) < n).astype(X.re.dtype)[:, None]
+        return CX(Y.re * mask, Y.im * mask)
+
+    def smooth(l: int, x: CX, r: CX, steps: int) -> CX:
+        mt = meta[l]
+        for _ in range(steps):
+            resid = r - spmm_full(S[l], mt.rows_loc, mt.n, mt.n_pad, x)
+            x = x + omega * CX(
+                resid.re * dinv[l].re[:, None] - resid.im * dinv[l].im[:, None],
+                resid.re * dinv[l].im[:, None] + resid.im * dinv[l].re[:, None])
+        return x
+
+    def vcycle(l: int, r: CX) -> CX:
+        if l == nlev:
+            return lumod.lu_solve(LUc, permc,
+                                  CX(r.re[:ncoarse], r.im[:ncoarse]))
+        mt = meta[l]
+        x = smooth(l, cx.zeros(r.shape, r.re.dtype), r, nu)
+        resid = r - spmm_full(S[l], mt.rows_loc, mt.n, mt.n_pad, x)
+        rc = spmm_full(Rops[l], mt.crows_loc, mt.nc, mt.nc_pad, resid)
+        xc = vcycle(l + 1, rc)
+        x = x + spmm_full(Pops[l], mt.rows_loc, mt.n, mt.n_pad, xc)
+        return smooth(l, x, r, nu)
+
+    if not levels:  # degenerate: fine problem already <= max_coarse
+        def M0(X: CX) -> CX:
+            sol = lumod.lu_solve(LUc, permc, CX(X.re[:ncoarse],
+                                                X.im[:ncoarse]))
+            pad = ((0, X.re.shape[0] - ncoarse), (0, 0))
+            return CX(jnp.pad(sol.re, pad), jnp.pad(sol.im, pad))
+
+        return M0
+
+    def M(X: CX) -> CX:
+        out = vcycle(0, X)
+        for _ in range(cycles - 1):
+            resid = X - spmm_full(S[0], meta[0].rows_loc, meta[0].n,
+                                  meta[0].n_pad, out)
+            out = out + vcycle(0, resid)
+        return out
+
+    return M
+
+
 def node_row_diag(A_sp, B_sp, n: int) -> np.ndarray:
     """Host-side diagonals for the Jacobi preconditioner."""
     import scipy.sparse as sp
@@ -119,6 +259,7 @@ def feast_iterative_rows(A, B, X0, contour: Optional[ct.Contour] = None, *,
                          nodes: int = 8, iters: int = 20, tol: float = 1e-10,
                          solve_tol: float = 1e-10, solve_iters: int = 1000,
                          precondition: str = "jacobi",
+                         amg_opts: Optional[dict] = None,
                          ortho: str = "cholqr2", debug: bool = False,
                          spurious: Optional[float] = None,
                          hlo_sink: Optional[list] = None) -> FeastResult:
@@ -128,6 +269,11 @@ def feast_iterative_rows(A, B, X0, contour: Optional[ct.Contour] = None, *,
     placement: A (and B) row blocks live pinned to their `row` shard for
     the whole run.  The 8-device-CPU-mesh == single-device equivalence and
     the no-A-gather HLO check are pinned in tests/test_rowsharded.py.
+
+    precondition: "jacobi" (diagonal), "amg" (row-sharded SA-AMG V-cycle —
+    every hierarchy level's SpMM stays shard-local; `amg_opts` carries the
+    build knobs theta/omega/smooth/max_coarse/max_levels and apply knobs
+    nu/cycles), or False/None.
     """
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     d_node = mesh.shape["node"]
@@ -166,6 +312,17 @@ def feast_iterative_rows(A, B, X0, contour: Optional[ct.Contour] = None, *,
     rowmask = jnp.asarray((np.arange(n_pad) < n).astype(np.float64),
                           dtype)[:, None]
 
+    amg_args = amg_specs = amg_meta = None
+    amg_apply = {}
+    if precondition == "amg":
+        _apply_only = ("nu", "cycles")
+        build_opts = {k: v for k, v in (amg_opts or {}).items()
+                      if k not in _apply_only}
+        amg_apply = {k: v for k, v in (amg_opts or {}).items()
+                     if k in ("nu", "omega", "cycles")}
+        amg_args, amg_specs, amg_meta = build_sharded_amg(
+            A, B, d_row, dtype, **build_opts)
+
     try:
         from jax import shard_map
     except ImportError:  # older jax
@@ -179,7 +336,7 @@ def feast_iterative_rows(A, B, X0, contour: Optional[ct.Contour] = None, *,
     def apply_op(Mb, X: CX) -> CX:
         return X if Mb is None else mv_full(Mb, X)
 
-    def step_local(Q, warm, z_l, w_l, Adata, Acols, Arows, Bparts):
+    def step_local(Q, warm, z_l, w_l, Adata, Acols, Arows, Bparts, amg):
         Ab_l = ShardedCSR(Adata, Acols, Arows, n, n_pad, rows_loc)
         Bb_l = None if Bparts is None else ShardedCSR(
             Bparts[0], Bparts[1], Bparts[2], n, n_pad, rows_loc)
@@ -208,7 +365,9 @@ def feast_iterative_rows(A, B, X0, contour: Optional[ct.Contour] = None, *,
                 return AV - zBV
 
             M = None
-            if precondition == "jacobi":
+            if precondition == "amg":
+                M = _sharded_amg_M(amg, amg_meta, zc, **amg_apply)
+            elif precondition == "jacobi":
                 d = CX(dAc.re - (zc.re * dBc.re - zc.im * dBc.im),
                        dAc.im - (zc.re * dBc.im + zc.im * dBc.re))
                 dinv = cx.creciprocal(d)
@@ -234,7 +393,8 @@ def feast_iterative_rows(A, B, X0, contour: Optional[ct.Contour] = None, *,
                   P("node", None, None),         # warm per node
                   P("node"), P("node"),          # z, w
                   P("row", None), P("row", None), P("row", None),  # A parts
-                  Bparts_spec),
+                  Bparts_spec,
+                  amg_specs),                    # sharded AMG hierarchy
         out_specs=(P(None, None), P(None, None), P(None,), P(None,),
                    P(None,), P("node", None, None)),
         check_vma=False)
@@ -246,14 +406,14 @@ def feast_iterative_rows(A, B, X0, contour: Optional[ct.Contour] = None, *,
         # expose the compiled module so tests can assert A is never
         # all-gathered (the nnz arrays stay row-sharded)
         hlo_sink.append(step.lower(Q, warm, z, w, Ab.data, Ab.cols, Ab.rows,
-                                   Bargs).compile().as_text())
+                                   Bargs, amg_args).compile().as_text())
     lam = res = inside = None
     Xout = Q
     n_iter, converged = 0, False
     for nit in range(iters + 1):
         n_iter = nit
         Qn, Xout, lam, res, inside, warm = step(
-            Q, warm, z, w, Ab.data, Ab.cols, Ab.rows, Bargs)
+            Q, warm, z, w, Ab.data, Ab.cols, Ab.rows, Bargs, amg_args)
         res_h, inside_h = np.asarray(res), np.asarray(inside)
         if debug:
             _debug_print(nit, lam, res_h, inside_h)

@@ -111,6 +111,60 @@ def test_rowsharded_generalized():
                                atol=1e-7)
 
 
+def test_rowsharded_amg_lowest_slice():
+    """Row-sharded AMG V-cycle: lowest slice of a 2-D 9-point Laplacian —
+    the regime where Jacobi stalls — converges with every hierarchy level's
+    SpMM shard-local (largest all-gather = vector blocks, below A's nnz)."""
+    g = 32
+    n = g * g
+    m0 = 4  # keeps 2*n*m0 (a combined re+im vector-block gather) below
+    #         even a SINGLE component of A's nnz data (8836 entries)
+    K = sp.diags([2.0 * np.ones(g), -np.ones(g - 1), -np.ones(g - 1)],
+                 [0, 1, -1])
+    I = sp.identity(g)
+    # 9-point stencil (corner couplings via the tensor term): nnz ~ 9n, so
+    # the n*m0 vector-block gathers stay strictly below A's nnz and the
+    # HLO check below is non-vacuous
+    A = (sp.kron(K, I) + sp.kron(I, K)
+         + 0.25 * sp.kron(K, K)).tocsr().astype(np.complex128)
+    lam1 = 2 - 2 * np.cos(np.pi / (g + 1))
+
+    def ev(i, j):
+        li = 2 - 2 * np.cos(i * np.pi / (g + 1))
+        lj = 2 - 2 * np.cos(j * np.pi / (g + 1))
+        return li + lj + 0.25 * li * lj
+
+    want = np.sort([ev(1, 1), ev(1, 2), ev(2, 1)])   # lowest 3 (2 distinct)
+    nxt = ev(2, 2)
+    c = complex((want[0] + want[-1]) / 2)
+    r = float(min((want[-1] - want[0]) * 0.75,
+                  (nxt - want[-1]) * 0.8 + (want[-1] - want[0]) / 2))
+    rng = np.random.default_rng(3)
+    X0 = rng.standard_normal((n, m0)) + 1j * rng.standard_normal((n, m0))
+    mesh = node_row_mesh(4, 2)
+    hlo = []
+    out = rs.feast_iterative_rows(A, None, X0, mesh=mesh, c=c, r=r,
+                                  nodes=8, iters=10, tol=1e-9,
+                                  solve_tol=1e-11, solve_iters=150,
+                                  precondition="amg",
+                                  amg_opts={"max_coarse": 80},
+                                  spurious=1e-4, hlo_sink=hlo)
+    assert out.converged
+    lam, X, res = out.filtered()
+    good = res < 1e-9
+    np.testing.assert_allclose(np.sort(lam[good].real), want, atol=1e-7)
+    R = A @ X[:, good] - X[:, good] * lam[good][None, :]
+    assert np.linalg.norm(R, axis=0).max() < 1e-8
+    # communication guarantee: neither A nor any AMG level is gathered —
+    # the largest all-gather is a (combined re+im) vector block of
+    # 2*n*m0 elements, strictly below one component of A's nnz data, so
+    # any operator gather would trip the bound
+    worst = rs.largest_allgather_elems(hlo[0])
+    assert worst <= 2 * n * m0, (worst, 2 * n * m0)
+    assert 2 * n * m0 < A.nnz, (2 * n * m0, A.nnz)
+    assert lam1 > 0  # sanity on the analytic spectrum used above
+
+
 def test_largest_allgather_parser():
     txt = """
   %ag1 = f64[16,400,8]{2,1,0} all-gather(f64[16,100,8]{2,1,0} %x)
