@@ -24,6 +24,18 @@ import numpy as np
 from .. import cx
 from ..cx import CX
 
+_SPMM_BACKEND = "xla"
+
+
+def set_spmm_backend(name: str):
+    """Select the DIA SpMM implementation: "xla" (shifted slices) or
+    "pallas" (fused halo-window kernel; TPU f32 only — silently falls back
+    to XLA elsewhere).  Mirrors cx.set_gemm_backend."""
+    global _SPMM_BACKEND
+    if name not in ("xla", "pallas"):
+        raise ValueError(f"unknown spmm backend {name!r}")
+    _SPMM_BACKEND = name
+
 
 @jax.tree_util.register_pytree_node_class
 class CSR:
@@ -170,7 +182,18 @@ class DIA:
         return len(self.offsets)
 
     def matvec(self, X: CX) -> CX:
-        """A @ X for X (n_cols_of_A, m) — static shifted slices, no gather."""
+        """A @ X for X (n_cols_of_A, m) — static shifted slices, no gather.
+
+        With `set_spmm_backend("pallas")` the fused halo-window kernel
+        (ops/pallas_kernels.dia_matvec_pallas) takes over on TPU f32: one
+        X window DMA per row block instead of one X pass per diagonal."""
+        if _SPMM_BACKEND == "pallas":
+            from . import pallas_kernels as pk
+
+            return pk.dia_matvec_pallas(self, X)
+        return self._matvec_xla(X)
+
+    def _matvec_xla(self, X: CX) -> CX:
         n = self.shape[0]
         L = max(0, -min(self.offsets))                      # left zero-pad
         R = max(0, n + max(self.offsets) - self.shape[1])   # right zero-pad

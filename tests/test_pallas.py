@@ -30,6 +30,57 @@ def test_cmatmul_pallas_interpret_matches_xla(shape, monkeypatch):
                                rtol=0, atol=1e-3 * np.sqrt(k))
 
 
+@pytest.mark.parametrize("offs,n,m", [
+    ((-1, 0, 1), 700, 16),            # tridiagonal, ragged n
+    ((-32, -1, 0, 1, 32), 512, 8),    # 2-D-Laplacian-like band structure
+    ((2, 5), 300, 16),                # strictly upper (min offset > 0)
+    ((-7, -3), 300, 16),              # strictly lower
+])
+def test_dia_matvec_pallas_interpret_matches_xla(offs, n, m, monkeypatch):
+    import scipy.sparse as sp
+
+    from feast_tpu.ops import sparse as spmod
+
+    monkeypatch.setattr(pk, "_INTERPRET", True)
+    pk._dia_matvec_pallas_padded._clear_cache()
+    rng = np.random.default_rng(7)
+    diags = [rng.standard_normal(n - abs(o))
+             + 1j * rng.standard_normal(n - abs(o)) for o in offs]
+    A = sp.diags(diags, offs, format="csr").astype(np.complex128)
+    Ad = spmod.DIA.from_scipy(A, jnp.float32)
+    X = cx.from_numpy(rng.standard_normal((n, m))
+                      + 1j * rng.standard_normal((n, m)), jnp.float32)
+    got = cx.to_numpy(pk.dia_matvec_pallas(Ad, X, bn=256))
+    want = cx.to_numpy(Ad._matvec_xla(X))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-4)
+    # exact reference through scipy
+    np.testing.assert_allclose(got, A @ cx.to_numpy(X), rtol=0, atol=1e-3)
+
+
+def test_set_spmm_backend_fallback():
+    """On CPU (non-interpret) the pallas DIA backend silently falls back to
+    the XLA shifted-slice path — same numbers either way."""
+    import scipy.sparse as sp
+
+    from feast_tpu.ops import sparse as spmod
+
+    rng = np.random.default_rng(8)
+    n = 128
+    A = sp.diags([rng.standard_normal(n), rng.standard_normal(n - 1)],
+                 [0, 1], format="csr").astype(np.complex128)
+    Ad = spmod.DIA.from_scipy(A, jnp.float32)
+    X = cx.from_numpy(rng.standard_normal((n, 4)) + 0j, jnp.float32)
+    ref = cx.to_numpy(Ad.matvec(X))
+    spmod.set_spmm_backend("pallas")
+    try:
+        got = cx.to_numpy(Ad.matvec(X))
+    finally:
+        spmod.set_spmm_backend("xla")
+    np.testing.assert_allclose(got, ref)
+    with pytest.raises(ValueError):
+        spmod.set_spmm_backend("nope")
+
+
 def test_set_gemm_backend_fallback():
     """On CPU (non-interpret) the pallas backend silently falls back to
     XLA — same numbers either way."""
