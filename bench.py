@@ -134,26 +134,36 @@ def sparse_nnz_per_s(n=1_000_000, m0=16, reps=3):
     b = cx.from_numpy(rng.standard_normal((n, m0))
                       + 1j * rng.standard_normal((n, m0)), jnp.float64)
 
-    @jax.jit
-    def solve(hh, bb):
-        mv = spmod.shifted_matvec(Ac, None, z)
-        return krylov.bicgstab(mv, bb, tol=1e-10, maxiter=40,
-                               M=amgmod.shifted_preconditioner(hh, z))
+    out = {"n": n, "nnz": nnz, "m0": m0}
+    best_rate = 0.0
+    for tag, mdt in (("vcycle_f64", None), ("vcycle_f32", jnp.float32)):
+        # f32 V-cycle: native f32 vs emulated f64 on TPU — half the
+        # bandwidth in the dominant phase; outer f64 Krylov still reaches
+        # 1e-10 (preconditioner precision only shapes iteration count)
+        @jax.jit
+        def solve(hh, bb):
+            mv = spmod.shifted_matvec(Ac, None, z)
+            return krylov.bicgstab(
+                mv, bb, tol=1e-10, maxiter=40,
+                M=amgmod.shifted_preconditioner(hh, z, dtype=mdt))
 
-    sol = solve(h, b)           # warmup/compile
-    iters = int(sol.iters)
-    t_best = np.inf
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        sol = solve(h, b)
-        _ = np.asarray(sol.resnorm)
-        t_best = min(t_best, time.perf_counter() - t0)
-    # per bicgstab iteration: 2 fine matvecs + 2 preconditioner V-cycles
-    nnz_processed = iters * m0 * (2 * nnz + 2 * vcycle_nnz)
-    return {"n": n, "nnz": nnz, "m0": m0, "solve_s": round(t_best, 3),
-            "krylov_iters": iters,
-            "resnorm": float(np.asarray(sol.resnorm).max()),
-            "nnz_per_s": float(nnz_processed / t_best)}
+        sol = solve(h, b)           # warmup/compile
+        iters = int(sol.iters)
+        t_best = np.inf
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            sol = solve(h, b)
+            _ = np.asarray(sol.resnorm)
+            t_best = min(t_best, time.perf_counter() - t0)
+        # per bicgstab iteration: 2 fine matvecs + 2 preconditioner V-cycles
+        nnz_processed = iters * m0 * (2 * nnz + 2 * vcycle_nnz)
+        rate = float(nnz_processed / t_best)
+        out[tag] = {"solve_s": round(t_best, 3), "krylov_iters": iters,
+                    "resnorm": float(np.asarray(sol.resnorm).max()),
+                    "nnz_per_s": rate}
+        best_rate = max(best_rate, rate)
+    out["nnz_per_s"] = best_rate
+    return out
 
 
 def gun_small(n=4096):

@@ -301,16 +301,51 @@ def hierarchy_nnz(amg: AMG):
             [int(L.P.nnz) for L in amg.levels])
 
 
+def _cast_op(op, dtype):
+    """Cast a CSR/DIA operator's data to `dtype` (structure unchanged)."""
+    from .sparse import CSR, DIA
+
+    d = CX(op.data.re.astype(dtype), op.data.im.astype(dtype))
+    if isinstance(op, DIA):
+        return DIA(d, op.offsets, op.shape)
+    return CSR(d, op.indices, op.row_ids, op.shape)
+
+
 def shifted_preconditioner(amg: AMG, z: CX, *, nu: int = 2,
-                           omega: float = 2.0 / 3.0, cycles: int = 1):
+                           omega: float = 2.0 / 3.0, cycles: int = 1,
+                           dtype=None):
     """Return M: X -> approx (A - z B)^{-1} X (`cycles` V-cycles).
 
     Everything here is jit- and vmap-safe: under `vmap` over the contour
     node axis the per-z shifted data and the coarse LU batch naturally.
     The shifted level operators S_l = A_l - z B_l and Jacobi diagonals are
     precomputed ONCE per z; each V-cycle application is pure SpMM + axpy.
+
+    dtype: run the whole V-cycle in this REAL dtype (e.g. jnp.float32
+    under x64).  A preconditioner's accuracy never bounds the outer
+    Krylov's final residual — it only shapes the iteration count — and on
+    TPU f64 is emulated (2-16x the cost of native f32), so an f32 V-cycle
+    halves the bandwidth of the heaviest part of the sparse solve while
+    the outer f64 recurrence still converges to 1e-10+.
     """
     from . import lu as lumod
+
+    if dtype is not None and dtype != amg.Ac.re.dtype:
+        amg = AMG(
+            tuple(AMGLevel(_cast_op(L.A_op, dtype), _cast_op(L.B_op, dtype),
+                           L.dA.astype(dtype), L.dB.astype(dtype),
+                           _cast_op(L.P, dtype), _cast_op(L.R, dtype))
+                  for L in amg.levels),
+            amg.Ac.astype(dtype), amg.Bc.astype(dtype))
+        zc = CX(z.re.astype(dtype), z.im.astype(dtype))
+        inner = shifted_preconditioner(amg, zc, nu=nu, omega=omega,
+                                       cycles=cycles)
+
+        def M_cast(X: CX) -> CX:
+            out = inner(CX(X.re.astype(dtype), X.im.astype(dtype)))
+            return CX(out.re.astype(X.re.dtype), out.im.astype(X.im.dtype))
+
+        return M_cast
 
     def shift_data(a: CX, b: CX) -> CX:
         return CX(a.re - (z.re * b.re - z.im * b.im),

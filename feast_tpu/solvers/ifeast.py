@@ -163,7 +163,8 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
     B = _to_op(B, dtype)
     if precondition is True:
         precondition = "jacobi"
-    _amg_apply_only = ("nu", "cycles")  # "omega" feeds both build and apply
+    _amg_apply_only = ("nu", "cycles", "dtype")  # "omega" feeds build+apply;
+    # "dtype" = V-cycle precision (cast in shifted_preconditioner, f32 on TPU)
     amg_hier = None
     if precondition == "amg":
         from ..ops import amg as amgmod
@@ -197,7 +198,7 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
                                      restart=min(40, max(10, n // 8)))
 
     # AMG apply knobs ride in amg_opts next to the build knobs
-    _amg_apply_keys = ("nu", "omega", "cycles")
+    _amg_apply_keys = ("nu", "omega", "cycles", "dtype")
     amg_apply = {k: v for k, v in (amg_opts or {}).items()
                  if k in _amg_apply_keys}
 
