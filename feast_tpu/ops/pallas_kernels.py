@@ -181,7 +181,16 @@ def dia_matvec_pallas(A, X: CX, bn: int = 1024) -> CX:
 
     Falls back to the XLA shifted-slice formulation off-TPU, for f64
     (emulated — no Pallas path), or when the band span is too wide for the
-    window to pay off.  Returns (n, m) CX like `DIA.matvec`."""
+    window to pay off.  Returns (n, m) CX like `DIA.matvec`.
+
+    MEASURED (v5e, 2026-08-17, benchmarks/results/spmm_bandwidth.json):
+    this kernel LOSES to the XLA shifted-slice path by ~14x at n=1e6,
+    ndiag=5, m=16.  XLA's fusion of the static shifted slices already runs
+    at 714 GB/s effective (85% of the 840 GB/s stream roofline), while the
+    manual-DMA kernel pays the 128-lane padding of the skinny X block (8x
+    the useful bytes for m=16) and is single-buffered (DMA latency-bound).
+    Kept as a wired, tested reference point behind
+    `sparse.set_spmm_backend("pallas")` — default stays "xla"."""
     n, ncols = A.shape
     offsets = A.offsets
     span = max(offsets) - min(offsets)
@@ -193,21 +202,27 @@ def dia_matvec_pallas(A, X: CX, bn: int = 1024) -> CX:
     dim = jnp.pad(A.data.im, ((0, 0), (0, n_pad - n)))
     # output row i reads x[i + off] for each diagonal; pre-shift X so that
     # padded row j holds x[j + min_off]: the union window for output block
-    # [i0, i0+bn) is exactly padded rows [i0, i0+bn+span)
+    # [i0, i0+bn) is exactly padded rows [i0, i0+bn+span).  Columns pad to
+    # the 128-lane tile: the manual HBM->VMEM window DMA requires lane
+    # alignment, and HBM stores the array 128-lane padded anyway (same
+    # physical traffic).
     mo = min(offsets)
+    span = -(-span // 8) * 8  # sublane-align the halo (f32 tile = 8 rows):
+    #                           DMA windows of bn+span rows stay tile-aligned
     need = n_pad + span
+    m = X.re.shape[1]
+    m_pad = -(-m // 128) * 128
 
     def shift_pad(x):
         head = max(0, -mo)
         xs = x if mo <= 0 else x[mo:]
         tail = need - head - xs.shape[0]
-        if tail < 0:
-            return jnp.pad(xs, ((head, 0), (0, 0)))[:need]
-        return jnp.pad(xs, ((head, tail), (0, 0)))
+        return jnp.pad(xs, ((head, max(0, tail)),
+                            (0, m_pad - m)))[:need]
 
     yre, yim = _dia_matvec_pallas_padded(dre, dim, shift_pad(X.re),
                                          shift_pad(X.im), offsets, bn, span)
-    return CX(yre[:n], yim[:n])
+    return CX(yre[:n, :m], yim[:n, :m])
 
 
 def cmatmul_pallas(a: CX, b: CX, bm: int = 256, bn: int = 256,
