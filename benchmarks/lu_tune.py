@@ -73,11 +73,19 @@ def main():
             def fact(A):
                 return jax.vmap(lambda a: lumod.lu_factor(a, block=blk))(A)
 
-            @jax.jit
-            def solve(LU, perm, B):
-                return jax.vmap(
-                    lambda l, p, b: lumod.lu_solve(l, p, b, block=blk))(
-                        LU, perm, B)
+            # solve is ms-scale vs the ~25 ms tunnel dispatch: time it as a
+            # chained fori_loop at two lengths, difference cancels dispatch
+            def solve_chain(inner):
+                from jax import lax
+
+                @jax.jit
+                def run(LU, perm, B):
+                    body = jax.vmap(
+                        lambda l, p, b: lumod.lu_solve(l, p, b, block=blk))
+                    return lax.fori_loop(
+                        0, inner, lambda i, x: body(LU, perm, x), B)
+
+                return run
 
             t0 = time.perf_counter()
             LU, perm = fact(A)
@@ -89,14 +97,17 @@ def main():
                 LU, perm = fact(A)
                 _sync(LU.re)
                 tf = min(tf, time.perf_counter() - t0)
-            X = solve(LU, perm, B)
-            _sync(X.re)
-            ts = np.inf
-            for _ in range(args.reps):
-                t0 = time.perf_counter()
-                X = solve(LU, perm, B)
-                _sync(X.re)
-                ts = min(ts, time.perf_counter() - t0)
+            times = {}
+            for inner in (2, 12):
+                run = solve_chain(inner)
+                _sync(run(LU, perm, B).re)
+                best = np.inf
+                for _ in range(args.reps):
+                    t0 = time.perf_counter()
+                    _sync(run(LU, perm, B).re)
+                    best = min(best, time.perf_counter() - t0)
+                times[inner] = best
+            ts = max((times[12] - times[2]) / 10, 1e-9)
             case["timings"][str(blk)] = {
                 "factor_s": round(tf, 4), "solve_s": round(ts, 4),
                 "compile_s": round(compile_s, 1)}

@@ -315,13 +315,13 @@ def _lu_pad(A: CX, block: int):
 # ---------------------------------------------------------------------------
 
 def _auto_block(n: int) -> int:
-    """Panel width: larger panels trace fewer unrolled blocks (5x faster
-    XLA compiles at n=2048) at equal steady-state throughput."""
-    if n <= 256:
+    """Panel width from the real-chip sweep (benchmarks/lu_tune.py,
+    results/lu_tune.json): 64 wins to n=512, 128 wins at n>=1024 (20%
+    faster factor than 256 at n=2048); larger panels only buy compile
+    time, which the persistent cache already amortizes."""
+    if n <= 512:
         return 64
-    if n <= 1024:
-        return 128
-    return 256
+    return 128
 
 
 def lu_factor(A: CX, block: int = 0, loop: str = "auto"):
