@@ -144,6 +144,7 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
                     amg_opts: Optional[dict] = None,
                     spurious: Optional[float] = None,
                     ortho: str = "cholqr2", mesh=None,
+                    node_chunk: Optional[int] = None,
                     debug: bool = False) -> FeastResult:
     """RII FEAST with matrix-free iterative node solves (sparse-ready).
 
@@ -156,7 +157,16 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
 
     mesh: shards the node axis (z, w, per-node Krylov warm starts) across
     devices; the matrix-free operators replicate (CSR data is tiny next to
-    the Krylov work)."""
+    the Krylov work).
+
+    node_chunk: process contour nodes in chunks of this size (host loop,
+    one compiled program reused across chunks) instead of vmapping the
+    Krylov solve over all `nodes` at once.  Block BiCGStab holds ~7 CX
+    workspace blocks of (n, m0) per node, so the all-nodes vmap needs
+    O(nodes * 7 * 2 * n * m0) HBM — at 1M dof f64 that exceeds a 16GB
+    chip; node_chunk=1-2 bounds the peak (the nlfeast `factor_chunk`
+    pattern).  Single-device only (ignored under `mesh`, which already
+    splits nodes across devices)."""
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     A_raw, B_raw = A, B  # keep originals for host-side AMG setup
     A = _to_op(A, dtype)
@@ -202,8 +212,7 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
     amg_apply = {k: v for k, v in (amg_opts or {}).items()
                  if k in _amg_apply_keys}
 
-    @jax.jit
-    def step(Q, warm, A, B, amg):
+    def _rr_body(Q, A, B):
         Qo = qrmod.orthonormalize(Q, method=ortho)
         AQ = _apply(A, Qo)
         Aq = cx.cmatmul(Qo.H, AQ)
@@ -218,44 +227,84 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
         R = _apply(A, Xn) - cx.scale_cols(BX, lam)
         res = cx.col_norms(R)
         inside = _in_mask(lam, contour.kind, contour.params)
+        return Xn, lam, R, res, inside
 
-        def make_M(zi: CX):
-            if precondition == "amg":
-                from ..ops import amg as amgmod
+    def _make_M(zi: CX, A, B, amg):
+        if precondition == "amg":
+            from ..ops import amg as amgmod
 
-                return amgmod.shifted_preconditioner(amg, zi, **amg_apply)
-            if precondition == "jacobi":
-                return spmod.jacobi_preconditioner(A, B, zi)
-            if callable(precondition):
-                return precondition(zi)
-            return None
+            return amgmod.shifted_preconditioner(amg, zi, **amg_apply)
+        if precondition == "jacobi":
+            return spmod.jacobi_preconditioner(A, B, zi)
+        if callable(precondition):
+            return precondition(zi)
+        return None
+
+    def _one_node(zi, wi, x0, R, Xn, lam, A, B, amg):
+        mv = spmod.shifted_matvec(A, B, CX(zi.re, zi.im))
+        M = _make_M(CX(zi.re, zi.im), A, B, amg)
+        if solver in ("bicgstab", "bicgstabl"):
+            sol = solve_fn(mv, R, x0=x0, tol=solve_tol,
+                           maxiter=solve_iters, M=M)
+        else:
+            sol = solve_fn(mv, R, x0=x0, tol=solve_tol, M=M)
+        from .feast import _resolvent
+        return cx.scale_cols(Xn - sol.x, _resolvent(wi, zi, lam)), sol.x
+
+    @jax.jit
+    def step(Q, warm, A, B, amg):
+        Xn, lam, R, res, inside = _rr_body(Q, A, B)
 
         def one_node(zi, wi, x0):
-            mv = spmod.shifted_matvec(A, B, CX(zi.re, zi.im))
-            M = make_M(CX(zi.re, zi.im))
-            if solver in ("bicgstab", "bicgstabl"):
-                sol = solve_fn(mv, R, x0=x0, tol=solve_tol,
-                               maxiter=solve_iters, M=M)
-            else:
-                sol = solve_fn(mv, R, x0=x0, tol=solve_tol, M=M)
-            from .feast import _resolvent
-            return cx.scale_cols(Xn - sol.x, _resolvent(wi, zi, lam)), sol.x
+            return _one_node(zi, wi, x0, R, Xn, lam, A, B, amg)
 
         terms, warm_new = jax.vmap(one_node)(z, w, warm)
         Qn = CX(jnp.sum(terms.re, 0), jnp.sum(terms.im, 0))
         return Qn, Xn, lam, res, inside, warm_new
 
-    warm = cx.zeros((N, n, m0), dtype)
-    if mesh is not None:
-        from ..parallel import mesh as pmesh
-        warm = pmesh.shard_nodes(warm, mesh)
+    rr_step = jax.jit(_rr_body)
+
+    @jax.jit
+    def chunk_solve(zc, wc, warmc, R, Xn, lam, A, B, amg):
+        def one_node(zi, wi, x0):
+            return _one_node(zi, wi, x0, R, Xn, lam, A, B, amg)
+
+        terms, warm_new = jax.vmap(one_node)(zc, wc, warmc)
+        return CX(jnp.sum(terms.re, 0), jnp.sum(terms.im, 0)), warm_new
+
+    use_chunks = (node_chunk is not None and mesh is None
+                  and int(node_chunk) < N)
+    if use_chunks:
+        node_chunk = int(node_chunk)
+        if N % node_chunk:
+            raise ValueError(
+                f"node_chunk={node_chunk} must divide nodes={N}")
+        nchunks = N // node_chunk
+        warm_list = [cx.zeros((node_chunk, n, m0), dtype)
+                     for _ in range(nchunks)]
+        warm = None
+    else:
+        warm = cx.zeros((N, n, m0), dtype)
+        if mesh is not None:
+            from ..parallel import mesh as pmesh
+            warm = pmesh.shard_nodes(warm, mesh)
     lam = res = inside = None
     Xout = X
     n_iter, converged = 0, False
     Q = X
     for nit in range(iters + 1):
         n_iter = nit
-        Qn, Xout, lam, res, inside, warm = step(Q, warm, A, B, amg_hier)
+        if use_chunks:
+            Xout, lam, R, res, inside = rr_step(Q, A, B)
+            Qn = None
+            for ci in range(nchunks):
+                k = ci * node_chunk
+                t, warm_list[ci] = chunk_solve(
+                    z[k:k + node_chunk], w[k:k + node_chunk],
+                    warm_list[ci], R, Xout, lam, A, B, amg_hier)
+                Qn = t if Qn is None else Qn + t
+        else:
+            Qn, Xout, lam, res, inside, warm = step(Q, warm, A, B, amg_hier)
         res_h, inside_h = np.asarray(res), np.asarray(inside)
         if debug:
             _debug_print(nit, lam, res_h, inside_h)

@@ -225,3 +225,25 @@ def test_feast_iterative_bicgstabl_solver():
     want = np.sort(exact[(exact > 0.0) & (exact < 0.04)])
     assert len(lam) == len(want)
     assert r.max() < 1e-9
+
+
+def test_feast_iterative_node_chunk_matches_full_vmap():
+    # node_chunk bounds the Krylov-workspace peak (one chunk of nodes per
+    # compiled call instead of the all-nodes vmap); results must agree.
+    rng = np.random.default_rng(3)
+    n = 300
+    L = sp.diags([np.full(n, 2.0), -np.ones(n - 1), -np.ones(n - 1)],
+                 [0, 1, -1], format="csr").astype(np.complex128)
+    X0 = _rand_c(rng, n, 32)
+    kw = dict(c=0.02 + 0j, r=0.02, nodes=8, iters=25, tol=1e-9)
+    full = ft.feast_iterative(L, None, X0, **kw)
+    chunked = ft.feast_iterative(L, None, X0, node_chunk=2, **kw)
+    lf, _, rf = full.filtered()
+    lc, _, rc = chunked.filtered()
+    assert chunked.converged and full.converged
+    assert len(lf) == len(lc)
+    assert rc.max() < 1e-9
+    np.testing.assert_allclose(np.sort(lc.real), np.sort(lf.real),
+                               atol=1e-10)
+    with pytest.raises(ValueError):
+        ft.feast_iterative(L, None, X0, node_chunk=3, **kw)
