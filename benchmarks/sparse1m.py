@@ -1,0 +1,134 @@
+"""BASELINE north-star: 1M-dof sparse GENERALIZED FEAST slice to 1e-10.
+
+Problem: 2-D tensor pencil (K, B) on an N x N grid (n = N^2 dofs),
+K = T (+) T (5-point stiffness), B = M (x) M (9-point bilinear FEM mass,
+M = tridiag(1,4,1)/6).  Both matrices are sparse, B != I — the reference's
+sparse-generalized regime (/root/reference/test/generalized_feast.jl:7-24),
+which it handles with UMFPACK sparse LU.  The TPU-native path is
+DIA shifted-slice SpMM + SA-AMG-preconditioned block BiCGStab inside
+`feast_iterative` (ops/amg.py, ops/sparse.py).
+
+The pencil is separable, so the exact generalized eigenvalues are
+(t_i + t_j) / (m_i m_j) with t_k = 2-2cos(k pi/(N+1)),
+m_k = (2+cos(k pi/(N+1)))/3 — the run validates against them.
+
+Slice: the LOWEST cluster (5 smallest, includes a degenerate pair that
+pulls in a 6th) — the hard edge-of-spectrum regime where
+kappa(K - zB) ~ lam_max/gap >= 1e9 at N=1000.
+
+Writes benchmarks/results/sparse1m.json and prints one JSON line.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import scipy.sparse as sp
+
+
+def build_pencil(N: int):
+    T1 = sp.diags([np.full(N, 2.0), -np.ones(N - 1), -np.ones(N - 1)],
+                  [0, 1, -1], format="csr")
+    M1 = sp.diags([np.full(N, 4 / 6), np.full(N - 1, 1 / 6),
+                   np.full(N - 1, 1 / 6)], [0, 1, -1], format="csr")
+    I = sp.identity(N, format="csr")
+    K = (sp.kron(T1, I) + sp.kron(I, T1)).tocsr().astype(np.complex128)
+    B = sp.kron(M1, M1).tocsr().astype(np.complex128)
+    k = np.arange(1, N + 1)
+    t = 2 - 2 * np.cos(k * np.pi / (N + 1))
+    m = (2 + np.cos(k * np.pi / (N + 1))) / 3
+    lam = np.sort(((t[:, None] + t[None, :])
+                   / (m[:, None] * m[None, :])).ravel())
+    return K, B, lam
+
+
+def run(N: int = 1000, m0: int = 8, nodes: int = 8, tol: float = 1e-10,
+        solve_tol: float = 1e-9, solve_iters: int = 120,
+        solver: str = "bicgstab_rr", node_chunk=None, verbose: bool = True):
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+    from feast_tpu.solvers.ifeast import feast_iterative
+
+    t0 = time.perf_counter()
+    K, B, lam = build_pencil(N)
+    build_s = time.perf_counter() - t0
+    n = N * N
+    c = (lam[0] + lam[4]) / 2
+    r = (lam[4] - lam[0]) * 0.75
+    n_inside = int(np.sum(np.abs(lam - c) <= r))
+    if verbose:
+        print(f"n={n} nnz(K)={K.nnz} nnz(B)={B.nnz} "
+              f"slice c={c:.3e} r={r:.3e} ({n_inside} exact inside), "
+              f"build {build_s:.1f}s", flush=True)
+    rng = np.random.default_rng(0)
+    X0 = rng.standard_normal((n, m0)) + 1j * rng.standard_normal((n, m0))
+
+    t0 = time.perf_counter()
+    out = feast_iterative(K, B, X0, c=complex(c), r=float(r), nodes=nodes,
+                          iters=8, tol=tol, precondition="amg",
+                          solver=solver, solve_tol=solve_tol,
+                          solve_iters=solve_iters,
+                          node_chunk=node_chunk, debug=verbose)
+    wall = time.perf_counter() - t0
+    lamf, _, res = out.filtered()
+    got = np.sort(lamf.real)
+    exact = lam[np.abs(lam - c) <= r]
+    ok = (out.converged and len(got) == n_inside
+          and np.allclose(got, exact, rtol=1e-5)
+          and float(res.max()) < tol)
+    rec = {
+        "n": n, "nnz_K": int(K.nnz), "nnz_B": int(B.nnz), "m0": m0,
+        "nodes": nodes, "tol": tol, "solver": solver,
+        "solve_tol": solve_tol,
+        "solve_iters": solve_iters, "node_chunk": node_chunk,
+        "backend": jax.devices()[0].platform,
+        "device": str(jax.devices()[0].device_kind),
+        "solve_wall_s": round(wall, 2),
+        "host_build_s": round(build_s, 2),
+        "n_refinement_iters": int(out.n_iter),
+        "found": len(got), "exact_inside": n_inside,
+        "max_res": float(res.max()),
+        "max_eig_relerr": float(np.max(np.abs(got - exact) / exact)),
+        "ok": bool(ok),
+    }
+    return rec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--N", type=int, default=1000)
+    ap.add_argument("--m0", type=int, default=8)
+    ap.add_argument("--nodes", type=int, default=8)
+    ap.add_argument("--solve-tol", type=float, default=1e-9)
+    ap.add_argument("--solve-iters", type=int, default=120)
+    ap.add_argument("--node-chunk", type=int, default=None)
+    ap.add_argument("--solver", type=str, default="bicgstab_rr")
+    args = ap.parse_args()
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    rec = run(N=args.N, m0=args.m0, nodes=args.nodes,
+              solve_tol=args.solve_tol, solve_iters=args.solve_iters,
+              solver=args.solver, node_chunk=args.node_chunk)
+    outdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "results")
+    os.makedirs(outdir, exist_ok=True)
+    with open(os.path.join(outdir, "sparse1m.json"), "w") as f:
+        json.dump(rec, f, indent=1)
+    print(json.dumps(rec))
+    return 0 if rec["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

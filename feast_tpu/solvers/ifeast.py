@@ -139,7 +139,10 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
                     c: complex = 0.0 + 0.0j, r: float = 1.0, nodes: int = 8,
                     iters: int = 20, tol: float = 1e-10,
                     solver: str = "bicgstab", solve_tol: float = 1e-10,
-                    # solver: "bicgstab" | "bicgstabl" (l=2) | "gmres"
+                    # solver: "bicgstab" | "bicgstab_rr" (residual
+                    # replacement; use on TPU for deep tolerances — the
+                    # emulated-f64 recursive residual drifts) | "bicgstabl"
+                    # (l=2) | "gmres"
                     solve_iters: int = 1000, precondition="jacobi",
                     amg_opts: Optional[dict] = None,
                     spurious: Optional[float] = None,
@@ -201,6 +204,8 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
 
     if solver == "bicgstab":
         solve_fn = krylov.bicgstab
+    elif solver == "bicgstab_rr":
+        solve_fn = krylov.bicgstab_rr
     elif solver == "bicgstabl":
         solve_fn = functools.partial(krylov.bicgstab_l, ell=2)
     else:
@@ -243,7 +248,7 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
     def _one_node(zi, wi, x0, R, Xn, lam, A, B, amg):
         mv = spmod.shifted_matvec(A, B, CX(zi.re, zi.im))
         M = _make_M(CX(zi.re, zi.im), A, B, amg)
-        if solver in ("bicgstab", "bicgstabl"):
+        if solver in ("bicgstab", "bicgstab_rr", "bicgstabl"):
             sol = solve_fn(mv, R, x0=x0, tol=solve_tol,
                            maxiter=solve_iters, M=M)
         else:

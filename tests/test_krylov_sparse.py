@@ -247,3 +247,46 @@ def test_feast_iterative_node_chunk_matches_full_vmap():
                                atol=1e-10)
     with pytest.raises(ValueError):
         ft.feast_iterative(L, None, X0, node_chunk=3, **kw)
+
+
+def test_bicgstab_rr_matches_plain_and_true_residual():
+    # residual replacement (van der Vorst/Ye): final resnorm is the TRUE
+    # residual b - A x, and on a well-conditioned system it matches plain
+    # bicgstab.
+    rng = np.random.default_rng(7)
+    n, m = 400, 5
+    Ad = (np.diag(2.0 + rng.random(n))
+          + np.diag(-0.5 * rng.random(n - 1), 1)
+          + np.diag(-0.5 * rng.random(n - 1), -1)).astype(complex)
+    Ad += 1j * 0.1 * np.diag(rng.random(n))
+    A = cx.as_cx(Ad)
+    B = cx.as_cx(rng.standard_normal((n, m))
+                 + 1j * rng.standard_normal((n, m)))
+    mv = lambda X: cx.cmatmul(A, X)
+    s1 = krylov.bicgstab(mv, B, tol=1e-12, maxiter=300)
+    s2 = krylov.bicgstab_rr(mv, B, tol=1e-12, maxiter=300,
+                            replace_every=20)
+    assert np.asarray(s1.resnorm).max() < 1e-12
+    assert np.asarray(s2.resnorm).max() < 1e-12
+    X2 = np.asarray(s2.x.re) + 1j * np.asarray(s2.x.im)
+    Bn = np.asarray(B.re) + 1j * np.asarray(B.im)
+    true_rel = (np.linalg.norm(Ad @ X2 - Bn, axis=0)
+                / np.linalg.norm(Bn, axis=0))
+    np.testing.assert_allclose(true_rel, np.asarray(s2.resnorm),
+                               rtol=1e-6, atol=1e-14)
+
+
+def test_feast_iterative_bicgstab_rr_solver():
+    rng = np.random.default_rng(5)
+    n = 300
+    L = sp.diags([np.full(n, 2.0), -np.ones(n - 1), -np.ones(n - 1)],
+                 [0, 1, -1], format="csr").astype(np.complex128)
+    X0 = _rand_c(rng, n, 32)
+    out = ft.feast_iterative(L, None, X0, c=0.02 + 0j, r=0.02, nodes=8,
+                             iters=25, tol=1e-9, solver="bicgstab_rr",
+                             solve_iters=200)
+    lam, _, r = out.filtered()
+    exact = 2.0 - 2.0 * np.cos(np.pi * np.arange(1, n + 1) / (n + 1))
+    want = np.sort(exact[(exact > 0.0) & (exact < 0.04)])
+    assert out.converged and len(lam) == len(want)
+    np.testing.assert_allclose(np.sort(lam.real), want, atol=1e-10)
