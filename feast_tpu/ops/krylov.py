@@ -131,13 +131,18 @@ def bicgstab_rr(matvec: Callable[[CX], CX], B: CX, x0: Optional[CX] = None,
     bnorm = jnp.maximum(cx.col_norms(B), jnp.finfo(dt).tiny)
     x = cx.zeros((n, m), dt) if x0 is None else x0
     npass = max(1, -(-maxiter // replace_every))
-    it_total = jnp.array(0, jnp.int32)
-    for _ in range(npass):
+
+    # fori_loop over passes: ONE bicgstab graph compiled, not npass copies
+    # (an unrolled python loop quadrupled remote-tunnel compile time).
+    def one_pass(_, carry):
+        x, it_total = carry
         r = B - matvec(x)
         sol = bicgstab(matvec, r, x0=None, tol=tol,
                        maxiter=replace_every, M=M, bnorm=bnorm)
-        x = x + sol.x
-        it_total = it_total + sol.iters
+        return (x + sol.x, it_total + sol.iters)
+
+    x, it_total = lax.fori_loop(0, npass, one_pass,
+                                (x, jnp.array(0, jnp.int32)))
     rel = cx.col_norms(B - matvec(x)) / bnorm
     return KrylovResult(x, rel, it_total, rel <= tol)
 
