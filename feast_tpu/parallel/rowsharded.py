@@ -257,6 +257,7 @@ def node_row_diag(A_sp, B_sp, n: int) -> np.ndarray:
 def feast_iterative_rows(A, B, X0, contour: Optional[ct.Contour] = None, *,
                          mesh: Mesh, c: complex = 0.0 + 0.0j, r: float = 1.0,
                          nodes: int = 8, iters: int = 20, tol: float = 1e-10,
+                         solver: str = "bicgstab",
                          solve_tol: float = 1e-10, solve_iters: int = 1000,
                          precondition: str = "jacobi",
                          amg_opts: Optional[dict] = None,
@@ -265,7 +266,9 @@ def feast_iterative_rows(A, B, X0, contour: Optional[ct.Contour] = None, *,
                          hlo_sink: Optional[list] = None) -> FeastResult:
     """RII FEAST with iterative node solves on a ("node", "row") mesh.
 
-    Semantics match `feast_iterative(solver="bicgstab")`; the difference is
+    Semantics match `feast_iterative` with the same `solver`
+    ("bicgstab" or "bicgstab_rr" — residual replacement, the accuracy
+    fix for emulated-f64 TPU; see ops/krylov.bicgstab_rr); the difference is
     placement: A (and B) row blocks live pinned to their `row` shard for
     the whole run.  The 8-device-CPU-mesh == single-device equivalence and
     the no-A-gather HLO check are pinned in tests/test_rowsharded.py.
@@ -376,8 +379,10 @@ def feast_iterative_rows(A, B, X0, contour: Optional[ct.Contour] = None, *,
                     return CX(V.re * dinv.re[:, None] - V.im * dinv.im[:, None],
                               V.re * dinv.im[:, None] + V.im * dinv.re[:, None])
 
-            sol = krylov.bicgstab(mv, R, x0=x0, tol=solve_tol,
-                                  maxiter=solve_iters, M=M)
+            solve_fn = (krylov.bicgstab_rr if solver == "bicgstab_rr"
+                        else krylov.bicgstab)
+            sol = solve_fn(mv, R, x0=x0, tol=solve_tol,
+                           maxiter=solve_iters, M=M)
             return cx.scale_cols(Xn - sol.x, _resolvent(wi, zi, lam)), sol.x
 
         terms, warm_new = jax.vmap(one_node)(z_l, w_l, warm)

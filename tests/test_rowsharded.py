@@ -173,3 +173,26 @@ def test_largest_allgather_parser():
     assert rs.largest_allgather_elems(txt) == 16 * 400 * 8
     with pytest.raises(AssertionError):
         rs.assert_no_large_allgather(txt, 1000)
+
+
+def test_rowsharded_bicgstab_rr_solver():
+    # same slice as test_rowsharded_matches_single_device, with the
+    # residual-replacement inner solver (TPU emulated-f64 accuracy fix)
+    n, m0 = 300, 10
+    A = banded(n, bands=14)
+    c, r, want = _slice_around(A, 148, 152)
+    rng = np.random.default_rng(1)
+    X0 = rng.standard_normal((n, m0)) + 1j * rng.standard_normal((n, m0))
+    mesh = node_row_mesh(4, 2)
+    out = rs.feast_iterative_rows(A, None, X0, mesh=mesh, c=c, r=r,
+                                  nodes=8, iters=15, tol=1e-10,
+                                  solver="bicgstab_rr",
+                                  solve_tol=1e-11, solve_iters=400,
+                                  spurious=1e-5)
+    lam, X, res = out.filtered()
+    assert out.converged
+    good = res < 1e-10
+    lam, X = lam[good], X[:, good]
+    np.testing.assert_allclose(np.sort(lam.real), want, atol=1e-8)
+    R = A @ X - X * lam[None, :]
+    assert np.linalg.norm(R, axis=0).max() < 1e-9
