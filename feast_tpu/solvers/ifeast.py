@@ -297,10 +297,34 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
     Xout = X
     n_iter, converged = 0, False
     Q = X
+
+    def _stops(nit, res_h, inside_h):
+        if inside_h.any() and res_h[inside_h].max() < tol:
+            return True
+        # two-tier stop (reference nlfeast.jl:73-79 semantics): once the
+        # filter has acted (nit >= 2), values inside the contour whose
+        # residual exceeds `spurious` are treated as spurious and ignored
+        # for convergence — with iterative solves an over-sized subspace
+        # can park a spurious Ritz value inside indefinitely.
+        if spurious is not None and nit >= 2:
+            ok = inside_h & (res_h < spurious)
+            if ok.any() and res_h[ok].max() < tol:
+                return True
+        return False
+
     for nit in range(iters + 1):
         n_iter = nit
         if use_chunks:
+            # convergence is decided by the RR step alone, so the chunked
+            # path checks BEFORE the node-solve sweep — the final sweep
+            # (whose Qn would be discarded) is never run.
             Xout, lam, R, res, inside = rr_step(Q, A, B)
+            res_h, inside_h = np.asarray(res), np.asarray(inside)
+            if debug:
+                _debug_print(nit, lam, res_h, inside_h)
+            if _stops(nit, res_h, inside_h):
+                converged = True
+                break
             Qn = None
             for ci in range(nchunks):
                 k = ci * node_chunk
@@ -310,20 +334,10 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
                 Qn = t if Qn is None else Qn + t
         else:
             Qn, Xout, lam, res, inside, warm = step(Q, warm, A, B, amg_hier)
-        res_h, inside_h = np.asarray(res), np.asarray(inside)
-        if debug:
-            _debug_print(nit, lam, res_h, inside_h)
-        if inside_h.any() and res_h[inside_h].max() < tol:
-            converged = True
-            break
-        # two-tier stop (reference nlfeast.jl:73-79 semantics): once the
-        # filter has acted (nit >= 2), values inside the contour whose
-        # residual exceeds `spurious` are treated as spurious and ignored
-        # for convergence — with iterative solves an over-sized subspace
-        # can park a spurious Ritz value inside indefinitely.
-        if spurious is not None and nit >= 2:
-            ok = inside_h & (res_h < spurious)
-            if ok.any() and res_h[ok].max() < tol:
+            res_h, inside_h = np.asarray(res), np.asarray(inside)
+            if debug:
+                _debug_print(nit, lam, res_h, inside_h)
+            if _stops(nit, res_h, inside_h):
                 converged = True
                 break
         Q = Qn
