@@ -56,14 +56,34 @@ def bicgstab(matvec: Callable[[CX], CX], B: CX, x0: Optional[CX] = None,
     tolerance is measured against (used by `bicgstab_rr`, whose restart
     passes solve correction systems but must stop relative to the
     ORIGINAL right-hand side).
+
+    The system is solved in COLUMN-SCALED form (each b_k normalized to
+    unit norm, solution unscaled at the end).  TPU's emulated f64 is a
+    double-f32 pair with f32 exponent range: once quantities fall below
+    ~1e-19 the correction terms of products/sums denormalize and the
+    arithmetic silently degrades to f32 grade — measured on-chip, a
+    shifted AMG-preconditioned solve that reaches 9e-10 relative accuracy
+    at unit RHS scale stalls at 5e-3 with a 1e-7-scaled RHS and makes NO
+    progress at 1e-10 scale.  Inside FEAST the node solves take the
+    (shrinking) outer residual as RHS, so without this scaling the outer
+    iteration plateaus near f32 epsilon.  Scaling is exact in infinite
+    precision and keeps every recurrence quantity O(1).
     """
     n, m = B.shape
     dt = B.dtype
     ident = (lambda v: v) if M is None else M
-    x = cx.zeros((n, m), dt) if x0 is None else x0
+    tiny = jnp.finfo(dt).tiny
+    cn = cx.col_norms(B)
+    bn_true = jnp.where(cn > tiny, cn, 1.0)  # zero column -> scale 1
+    ref = bn_true if bnorm is None else jnp.maximum(bnorm, tiny)
+    inv = 1.0 / bn_true
+    B = CX(B.re * inv[None, :], B.im * inv[None, :])
+    x = (cx.zeros((n, m), dt) if x0 is None
+         else CX(x0.re * inv[None, :], x0.im * inv[None, :]))
     r = B - matvec(x)
-    if bnorm is None:
-        bnorm = jnp.maximum(cx.col_norms(B), jnp.finfo(dt).tiny)
+    # per-column tolerance scale: ||r||/ref in ORIGINAL units equals
+    # ||r_scaled|| * bn_true/ref in scaled units
+    rscale = jnp.maximum(ref * inv, tiny)
     rhat = r
     one = CX(jnp.ones((m,), dt), jnp.zeros((m,), dt))
     zero_v = cx.zeros((n, m), dt)
@@ -71,7 +91,7 @@ def bicgstab(matvec: Callable[[CX], CX], B: CX, x0: Optional[CX] = None,
                   it=jnp.array(0, jnp.int32))
 
     def resrel(r):
-        return cx.col_norms(r) / bnorm
+        return cx.col_norms(r) / rscale
 
     def cond(st):
         return (jnp.max(resrel(st["r"])) > tol) & (st["it"] < maxiter)
@@ -101,7 +121,8 @@ def bicgstab(matvec: Callable[[CX], CX], B: CX, x0: Optional[CX] = None,
 
     st = lax.while_loop(cond, body, state0)
     rel = resrel(st["r"])
-    return KrylovResult(st["x"], rel, st["it"], rel <= tol)
+    xout = CX(st["x"].re * bn_true[None, :], st["x"].im * bn_true[None, :])
+    return KrylovResult(xout, rel, st["it"], rel <= tol)
 
 
 def bicgstab_rr(matvec: Callable[[CX], CX], B: CX, x0: Optional[CX] = None,
@@ -143,7 +164,12 @@ def bicgstab_rr(matvec: Callable[[CX], CX], B: CX, x0: Optional[CX] = None,
 
     x, it_total = lax.fori_loop(0, npass, one_pass,
                                 (x, jnp.array(0, jnp.int32)))
-    rel = cx.col_norms(B - matvec(x)) / bnorm
+    # final TRUE relative residual, with the difference scaled to O(1)
+    # BEFORE the norm: squaring ~1e-19 entries underflows the emulated
+    # f64's f32 exponent range and under-reports the residual
+    d = B - matvec(x)
+    inv = 1.0 / bnorm
+    rel = cx.col_norms(CX(d.re * inv[None, :], d.im * inv[None, :]))
     return KrylovResult(x, rel, it_total, rel <= tol)
 
 
@@ -154,12 +180,22 @@ def gmres(matvec: Callable[[CX], CX], B: CX, x0: Optional[CX] = None,
     recurrence; the basis is batched over columns (n, m, restart).
 
     Memory: (restart+1) * n * m — keep `restart` modest for wide blocks.
+
+    Columns are scaled to unit norm internally (see `bicgstab`: TPU's
+    emulated f64 degrades to f32 grade once quantities underflow its f32
+    exponent range).
     """
     n, m = B.shape
     dt = B.dtype
     ident = (lambda v: v) if M is None else M
-    x = cx.zeros((n, m), dt) if x0 is None else x0
-    bnorm = jnp.maximum(cx.col_norms(B), jnp.finfo(dt).tiny)
+    tiny = jnp.finfo(dt).tiny
+    cn = cx.col_norms(B)
+    bn_true = jnp.where(cn > tiny, cn, 1.0)  # zero column -> scale 1
+    inv = 1.0 / bn_true
+    B = CX(B.re * inv[None, :], B.im * inv[None, :])
+    x = (cx.zeros((n, m), dt) if x0 is None
+         else CX(x0.re * inv[None, :], x0.im * inv[None, :]))
+    bnorm = jnp.ones((m,), dt)
     k = restart
 
     def arnoldi_cycle(x):
@@ -265,7 +301,8 @@ def gmres(matvec: Callable[[CX], CX], B: CX, x0: Optional[CX] = None,
 
     x, it = lax.while_loop(cond, body, (x, jnp.array(0, jnp.int32)))
     rel = cx.col_norms(B - matvec(x)) / bnorm
-    return KrylovResult(x, rel, it, rel <= tol)
+    xout = CX(x.re * bn_true[None, :], x.im * bn_true[None, :])
+    return KrylovResult(xout, rel, it, rel <= tol)
 
 
 def bicgstab_l(matvec: Callable[[CX], CX], B: CX, x0: Optional[CX] = None,
@@ -279,17 +316,28 @@ def bicgstab_l(matvec: Callable[[CX], CX], B: CX, x0: Optional[CX] = None,
     All columns advance together; per-column scalars are (m,) CX vectors;
     storage is two (l+1, n, m) stacks.  Right-preconditioned via M.
     maxiter counts BiCGStab(l) cycles (2*l matvecs each).
+
+    Columns are scaled to unit norm internally (see `bicgstab`: TPU's
+    emulated f64 degrades to f32 grade once quantities underflow its f32
+    exponent range).
     """
     n, m = B.shape
     dt = B.dtype
     ident = (lambda v: v) if M is None else M
     mv = (lambda v: matvec(ident(v)))
+    tiny = jnp.finfo(dt).tiny
+    cn = cx.col_norms(B)
+    bn_true = jnp.where(cn > tiny, cn, 1.0)  # zero column -> scale 1
+    inv = 1.0 / bn_true
+    B = CX(B.re * inv[None, :], B.im * inv[None, :])
+    if x0 is not None:
+        x0 = CX(x0.re * inv[None, :], x0.im * inv[None, :])
     # x0 lives in TRUE coordinates; the iteration accumulates increments in
     # the right-preconditioned variable, mapped back at the end.
     x_init = cx.zeros((n, m), dt) if x0 is None else x0
     x = cx.zeros((n, m), dt)
     r0 = B - matvec(x_init)
-    bnorm = jnp.maximum(cx.col_norms(B), jnp.finfo(dt).tiny)
+    bnorm = jnp.ones((m,), dt)
     rhat = r0
     one = CX(jnp.ones((m,), dt), jnp.zeros((m,), dt))
     zero_s = cx.zeros((m,), dt)
@@ -399,4 +447,5 @@ def bicgstab_l(matvec: Callable[[CX], CX], B: CX, x0: Optional[CX] = None,
     xfin = x_init + (ident(st["x"]) if M is not None else st["x"])
     # recompute the true residual (the recursive one can drift)
     rel = cx.col_norms(B - matvec(xfin)) / bnorm
-    return KrylovResult(xfin, rel, st["it"], rel <= tol)
+    xout = CX(xfin.re * bn_true[None, :], xfin.im * bn_true[None, :])
+    return KrylovResult(xout, rel, st["it"], rel <= tol)
