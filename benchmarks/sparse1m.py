@@ -47,7 +47,8 @@ def build_pencil(N: int):
 
 def run(N: int = 1000, m0: int = 8, nodes: int = 8, tol: float = 1e-10,
         solve_tol: float = 1e-9, solve_iters: int = 120,
-        solver: str = "bicgstab_rr", node_chunk=None, verbose: bool = True):
+        solver: str = "bicgstab_rr", node_chunk=None, rr: str = "host",
+        verbose: bool = True):
     import jax
 
     jax.config.update("jax_enable_x64", True)
@@ -79,7 +80,7 @@ def run(N: int = 1000, m0: int = 8, nodes: int = 8, tol: float = 1e-10,
     out = feast_iterative(K, B, X0, c=complex(c), r=float(r), nodes=nodes,
                           iters=8, tol=tol, precondition="amg",
                           solver=solver, solve_tol=solve_tol,
-                          solve_iters=solve_iters,
+                          solve_iters=solve_iters, rr=rr,
                           node_chunk=node_chunk, debug=verbose)
     wall = time.perf_counter() - t0
     lamf, _, res = out.filtered()
@@ -90,7 +91,7 @@ def run(N: int = 1000, m0: int = 8, nodes: int = 8, tol: float = 1e-10,
           and float(res.max()) < tol)
     rec = {
         "n": n, "nnz_K": int(K.nnz), "nnz_B": int(B.nnz), "m0": m0,
-        "nodes": nodes, "tol": tol, "solver": solver,
+        "nodes": nodes, "tol": tol, "solver": solver, "rr": rr,
         "solve_tol": solve_tol,
         "solve_iters": solve_iters, "node_chunk": node_chunk,
         "backend": jax.devices()[0].platform,
@@ -115,12 +116,13 @@ def main():
     ap.add_argument("--solve-iters", type=int, default=120)
     ap.add_argument("--node-chunk", type=int, default=None)
     ap.add_argument("--solver", type=str, default="bicgstab_rr")
+    ap.add_argument("--rr", type=str, default="host")
     args = ap.parse_args()
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     rec = run(N=args.N, m0=args.m0, nodes=args.nodes,
               solve_tol=args.solve_tol, solve_iters=args.solve_iters,
-              solver=args.solver, node_chunk=args.node_chunk)
+              solver=args.solver, node_chunk=args.node_chunk, rr=args.rr)
     outdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "results")
     os.makedirs(outdir, exist_ok=True)

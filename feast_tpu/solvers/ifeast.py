@@ -148,8 +148,20 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
                     spurious: Optional[float] = None,
                     ortho: str = "cholqr2", mesh=None,
                     node_chunk: Optional[int] = None,
+                    rr: str = "device",
                     debug: bool = False) -> FeastResult:
     """RII FEAST with matrix-free iterative node solves (sparse-ready).
+
+    rr: "device" (default) keeps the whole refinement step on device;
+    "host" computes the Rayleigh-Ritz phase (orthonormalize, Grams, m0 x m0
+    eig, residual) in numpy/LAPACK complex128 and keeps ONLY the node
+    solves (the hot phase) on device.  On TPU the emulated-f64 MXU matmul
+    accumulates its long contraction axis at ~f32 precision (measured:
+    a (40000,8) Gram is wrong at 2e-8 relative, CholeskyQR2
+    orthogonality caps at 1.7e-5), which caps the on-device Ritz values
+    near 1e-6 relative and the FEAST residual near 1e-8 absolute; host RR
+    restores the 1e-10..1e-14 floors.  Costs one n x m0 pull and two
+    pushes per refinement iteration.  Single-device only.
 
     precondition: "jacobi" (diagonal of A - zB; cheap, adequate for
     diagonally-dominant/interior slices), "amg" (smoothed-aggregation
@@ -277,8 +289,39 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
         terms, warm_new = jax.vmap(one_node)(zc, wc, warmc)
         return CX(jnp.sum(terms.re, 0), jnp.sum(terms.im, 0)), warm_new
 
-    use_chunks = (node_chunk is not None and mesh is None
-                  and int(node_chunk) < N)
+    use_host_rr = rr == "host"
+    if use_host_rr and mesh is not None:
+        raise ValueError("rr='host' does not compose with mesh")
+    use_chunks = use_host_rr or (node_chunk is not None and mesh is None
+                                 and int(node_chunk) < N)
+    if use_host_rr:
+        import scipy.linalg as _sla
+
+        A_h = _raw_matrix(A_raw)
+        B_h = None if B is None else _raw_matrix(B_raw)
+        if node_chunk is None:
+            node_chunk = N
+
+        def host_rr(Q):
+            Qh = cx.to_numpy(Q)
+            Qo, _ = np.linalg.qr(Qh)
+            AQ = A_h @ Qo
+            Aq = Qo.conj().T @ AQ
+            if B_h is None:
+                lam_h, Xq = _sla.eig(Aq)
+            else:
+                Bq = Qo.conj().T @ (B_h @ Qo)
+                lam_h, Xq = _sla.eig(Aq, Bq)
+            Xh = Qo @ Xq
+            Xh = Xh / np.maximum(np.linalg.norm(Xh, axis=0),
+                                 np.finfo(np.float64).tiny)
+            BX = Xh if B_h is None else B_h @ Xh
+            Rh = A_h @ Xh - BX * lam_h[None, :]
+            res_h = np.linalg.norm(Rh, axis=0)
+            inside_h = np.asarray(ct.in_contour(lam_h, contour), dtype=bool)
+            return (cx.from_numpy(Xh, dtype), cx.from_numpy(lam_h, dtype),
+                    cx.from_numpy(Rh, dtype), res_h, inside_h)
+
     if use_chunks:
         node_chunk = int(node_chunk)
         if N % node_chunk:
@@ -318,7 +361,10 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
             # convergence is decided by the RR step alone, so the chunked
             # path checks BEFORE the node-solve sweep — the final sweep
             # (whose Qn would be discarded) is never run.
-            Xout, lam, R, res, inside = rr_step(Q, A, B)
+            if use_host_rr:
+                Xout, lam, R, res, inside = host_rr(Q)
+            else:
+                Xout, lam, R, res, inside = rr_step(Q, A, B)
             res_h, inside_h = np.asarray(res), np.asarray(inside)
             if debug:
                 _debug_print(nit, lam, res_h, inside_h)

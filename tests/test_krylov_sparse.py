@@ -290,3 +290,27 @@ def test_feast_iterative_bicgstab_rr_solver():
     want = np.sort(exact[(exact > 0.0) & (exact < 0.04)])
     assert out.converged and len(lam) == len(want)
     np.testing.assert_allclose(np.sort(lam.real), want, atol=1e-10)
+
+
+def test_feast_iterative_host_rr():
+    # rr="host": Rayleigh-Ritz phase on host LAPACK, node solves on device
+    # (the TPU fix for the emulated-f64 MXU's f32-grade long-contraction
+    # accumulation, which caps on-device Ritz values near 1e-6 relative).
+    rng = np.random.default_rng(5)
+    n = 300
+    L = sp.diags([np.full(n, 2.0), -np.ones(n - 1), -np.ones(n - 1)],
+                 [0, 1, -1], format="csr").astype(np.complex128)
+    X0 = _rand_c(rng, n, 32)
+    out = ft.feast_iterative(L, None, X0, c=0.02 + 0j, r=0.02, nodes=8,
+                             iters=25, tol=1e-9, rr="host",
+                             node_chunk=4, solve_iters=300)
+    lam, _, r = out.filtered()
+    exact = 2.0 - 2.0 * np.cos(np.pi * np.arange(1, n + 1) / (n + 1))
+    want = np.sort(exact[(exact > 0.0) & (exact < 0.04)])
+    assert out.converged and len(lam) == len(want)
+    assert r.max() < 1e-9
+    np.testing.assert_allclose(np.sort(lam.real), want, atol=1e-10)
+    with pytest.raises(ValueError):
+        from feast_tpu.parallel.mesh import node_mesh
+        ft.feast_iterative(L, None, X0, c=0.02 + 0j, r=0.02, nodes=8,
+                           rr="host", mesh=node_mesh(1))
