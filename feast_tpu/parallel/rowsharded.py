@@ -277,6 +277,13 @@ def feast_iterative_rows(A, B, X0, contour: Optional[ct.Contour] = None, *,
     every hierarchy level's SpMM stays shard-local; `amg_opts` carries the
     build knobs theta/omega/smooth/max_coarse/max_levels and apply knobs
     nu/cycles), or False/None.
+
+    TPU accuracy caveat: the RR phase here runs on device (psum CholQR +
+    Grams).  On real TPU the emulated-f64 matmul accumulates long
+    contractions at ~f32 grade (see CLAUDE.md), capping the achievable
+    residual around 1e-8 x (n/4e4) — fine for solve-dominated scaling
+    runs; for 1e-10 floors on a single chip use
+    `feast_iterative(rr="host")`.
     """
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     d_node = mesh.shape["node"]
