@@ -48,7 +48,7 @@ def build_pencil(N: int):
 def run(N: int = 1000, m0: int = 8, nodes: int = 8, tol: float = 1e-10,
         solve_tol: float = 1e-9, solve_iters: int = 120,
         solver: str = "bicgstab_rr", node_chunk=None, rr: str = "host",
-        verbose: bool = True):
+        amg_f32: bool = False, verbose: bool = True):
     import jax
 
     jax.config.update("jax_enable_x64", True)
@@ -77,8 +77,13 @@ def run(N: int = 1000, m0: int = 8, nodes: int = 8, tol: float = 1e-10,
     X0 = rng.standard_normal((n, m0)) + 1j * rng.standard_normal((n, m0))
 
     t0 = time.perf_counter()
+    amg_opts = None
+    if amg_f32:
+        import jax.numpy as jnp
+        amg_opts = {"dtype": jnp.float32}  # f32 V-cycle under the f64 Krylov
     out = feast_iterative(K, B, X0, c=complex(c), r=float(r), nodes=nodes,
                           iters=8, tol=tol, precondition="amg",
+                          amg_opts=amg_opts,
                           solver=solver, solve_tol=solve_tol,
                           solve_iters=solve_iters, rr=rr,
                           node_chunk=node_chunk, debug=verbose)
@@ -92,6 +97,7 @@ def run(N: int = 1000, m0: int = 8, nodes: int = 8, tol: float = 1e-10,
     rec = {
         "n": n, "nnz_K": int(K.nnz), "nnz_B": int(B.nnz), "m0": m0,
         "nodes": nodes, "tol": tol, "solver": solver, "rr": rr,
+        "amg_f32": amg_f32,
         "solve_tol": solve_tol,
         "solve_iters": solve_iters, "node_chunk": node_chunk,
         "backend": jax.devices()[0].platform,
@@ -117,12 +123,14 @@ def main():
     ap.add_argument("--node-chunk", type=int, default=None)
     ap.add_argument("--solver", type=str, default="bicgstab_rr")
     ap.add_argument("--rr", type=str, default="host")
+    ap.add_argument("--amg-f32", action="store_true")
     args = ap.parse_args()
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     rec = run(N=args.N, m0=args.m0, nodes=args.nodes,
               solve_tol=args.solve_tol, solve_iters=args.solve_iters,
-              solver=args.solver, node_chunk=args.node_chunk, rr=args.rr)
+              solver=args.solver, node_chunk=args.node_chunk, rr=args.rr,
+              amg_f32=args.amg_f32)
     outdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "results")
     os.makedirs(outdir, exist_ok=True)
