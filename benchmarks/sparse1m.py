@@ -47,7 +47,7 @@ def build_pencil(N: int):
 
 def run(N: int = 1000, m0: int = 8, nodes: int = 8, tol: float = 1e-10,
         solve_tol: float = 1e-9, solve_iters: int = 120,
-        solver: str = "bicgstab_rr", node_chunk=None, rr: str = "host",
+        solver: str = "bicgstab_rr", node_chunk=None, rr: str = "device",
         amg_f32: bool = False, verbose: bool = True):
     import jax
 
@@ -122,7 +122,7 @@ def main():
     ap.add_argument("--solve-iters", type=int, default=120)
     ap.add_argument("--node-chunk", type=int, default=None)
     ap.add_argument("--solver", type=str, default="bicgstab_rr")
-    ap.add_argument("--rr", type=str, default="host")
+    ap.add_argument("--rr", type=str, default="device")
     ap.add_argument("--amg-f32", action="store_true")
     args = ap.parse_args()
     sys.path.insert(0, os.path.dirname(os.path.dirname(

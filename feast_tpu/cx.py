@@ -19,7 +19,7 @@ scan / shard_map.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Union
+from typing import NamedTuple, Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -263,6 +263,28 @@ def cdot_cols(a: CX, b: CX) -> CX:
     """Column-wise inner products: sum_i conj(a[i,j]) * b[i,j] -> (cols,)."""
     re = jnp.sum(a.re * b.re + a.im * b.im, axis=0)
     im = jnp.sum(a.re * b.im - a.im * b.re, axis=0)
+    return CX(re, im)
+
+
+def cgram(a: CX, b: Optional[CX] = None) -> CX:
+    """a^H @ b (or a^H @ a) via elementwise products + add-reduction.
+
+    Numerically equivalent to `cmatmul(a.H, b)` but NOT routed through the
+    MXU: on TPU the emulated-f64 matmul accumulates its long contraction
+    axis at ~f32 grade even at Precision.HIGHEST (measured on-chip: a
+    (40000, 8) Gram wrong at 2e-8 relative, which capped CholeskyQR2
+    orthogonality at 1.7e-5 and on-device Ritz values at ~1e-6 relative).
+    Elementwise multiplies and the tree add-reduction stay at full
+    emulated-f64 accuracy.  Cost is O(n m_a m_b) VPU work and ~m-fold the
+    matmul's bandwidth — use for the small m0-wide subspace Grams, never
+    for wide GEMMs.
+    """
+    if b is None:
+        b = a
+    are, aim = a.re[:, :, None], a.im[:, :, None]
+    bre, bim = b.re[:, None, :], b.im[:, None, :]
+    re = jnp.sum(are * bre + aim * bim, axis=0)
+    im = jnp.sum(are * bim - aim * bre, axis=0)
     return CX(re, im)
 
 

@@ -160,7 +160,10 @@ def right_solve_upper(A: CX, R: CX) -> CX:
 # ---------------------------------------------------------------------------
 
 def _gram(A: CX, psum_axis=None) -> CX:
-    G = cx.cmatmul(A.H, A)
+    # elementwise-reduction Gram (cx.cgram): the MXU's emulated-f64 long
+    # contraction is only ~f32-accurate, which capped CholeskyQR2
+    # orthogonality at 1.7e-5 on chip; the VPU form keeps dd accuracy
+    G = cx.cgram(A)
     if psum_axis is not None:
         G = CX(lax.psum(G.re, psum_axis), lax.psum(G.im, psum_axis))
     return G
@@ -266,8 +269,35 @@ def _dyn_scalar(v: CX, k) -> CX:
               lax.dynamic_slice(v.im, (k,), (1,))[0])
 
 
+def colscale_unit(A: CX, psum_axis=None) -> CX:
+    """Scale each column to unit 2-norm, safely across extreme dynamic
+    range: a max-abs pre-scale first, so tiny columns (FEAST's filtered
+    junk directions decay geometrically per iteration) never underflow the
+    squared-norm reduction — on TPU's emulated f64 (f32 exponent range)
+    squaring ~1e-19 entries silently returns 0 and the normalization
+    destroys the column.  Span-preserving (diagonal right-scaling)."""
+    tiny = jnp.finfo(A.dtype).tiny
+    amax = jnp.max(jnp.maximum(jnp.abs(A.re), jnp.abs(A.im)), axis=0)
+    if psum_axis is not None:
+        amax = lax.pmax(amax, psum_axis)
+    s1 = 1.0 / jnp.where(amax > tiny, amax, 1.0)
+    As = CX(A.re * s1[None, :], A.im * s1[None, :])
+    nrm2 = jnp.sum(As.re * As.re + As.im * As.im, axis=0)
+    if psum_axis is not None:
+        nrm2 = lax.psum(nrm2, psum_axis)
+    nrm = jnp.sqrt(nrm2)
+    s2 = 1.0 / jnp.where(nrm > tiny, nrm, 1.0)
+    return CX(As.re * s2[None, :], As.im * s2[None, :])
+
+
 def orthonormalize(A: CX, method: str = "cholqr2", psum_axis=None) -> CX:
-    """Orthonormal basis of range(A) — the `qr(Q).Q` step of the reference."""
+    """Orthonormal basis of range(A) — the `qr(Q).Q` step of the reference.
+
+    Columns are safely pre-normalized to unit norm first (colscale_unit):
+    the FEAST moment sum's outside-contour columns decay geometrically per
+    refinement iteration, and the resulting dynamic range breaks every
+    factorization on TPU's f32-exponent-range emulated f64."""
+    A = colscale_unit(A, psum_axis)
     if method == "cholqr2":
         return cholqr2(A, psum_axis)[0]
     if method == "cholqr3":

@@ -352,11 +352,11 @@ def feast_iterative_rows(A, B, X0, contour: Optional[ct.Contour] = None, *,
             Bparts[0], Bparts[1], Bparts[2], n, n_pad, rows_loc)
         Qo = qrmod.orthonormalize(Q, method=ortho)
         AQ = apply_op(Ab_l, Qo)
-        Aq = cx.cmatmul(Qo.H, AQ)
+        Aq = cx.cgram(Qo, AQ)  # dd-accurate Gram (see cx.cgram)
         if Bb_l is None:
             lam, Xq = eigmod.eig(Aq)
         else:
-            Bq = cx.cmatmul(Qo.H, apply_op(Bb_l, Qo))
+            Bq = cx.cgram(Qo, apply_op(Bb_l, Qo))
             lam, Xq = eigmod.gen_eig(Aq, Bq)
         Xn = cx.normalize_cols(cx.cmatmul(Qo, Xq))
         BX = Xn if Bb_l is None else apply_op(Bb_l, Xn)

@@ -99,7 +99,7 @@ def _rayleigh_ritz(Q: CX, A: CX, B: Optional[CX], pencil: str = "lu"):
     faster than the Schur iteration; requires A Hermitian (and B Hermitian
     positive-definite if given)."""
     AQ = cx.cmatmul(A, Q)
-    Aq = cx.cmatmul(Q.H, AQ)
+    Aq = cx.cgram(Q, AQ)   # dd-accurate Gram (see cx.cgram)
     if pencil == "hermitian":
         from ..ops import eigh as eighmod
         from ..ops import qr as qrsolve
@@ -109,7 +109,7 @@ def _rayleigh_ritz(Q: CX, A: CX, B: Optional[CX], pencil: str = "lu"):
             wr, Xq = eighmod.eigh_cx(Aq)
         else:
             # B-definite reduction: Bq = L L^H; eigh(L^-1 Aq L^-H)
-            Bq = cx.cmatmul(Q.H, cx.cmatmul(B, Q))
+            Bq = cx.cgram(Q, cx.cmatmul(B, Q))
             Bq = CX((Bq.re + Bq.re.T) / 2, (Bq.im - Bq.im.T) / 2)
             L = qrsolve.cholesky(Bq)
             Ct = qrsolve.solve_lower(L, Aq)          # L^-1 Aq
@@ -123,11 +123,11 @@ def _rayleigh_ritz(Q: CX, A: CX, B: Optional[CX], pencil: str = "lu"):
     elif pencil == "qz":
         from ..ops import qz as qzmod
 
-        alpha, beta, Xq = qzmod.gen_eig_qz(Aq, cx.cmatmul(Q.H, cx.cmatmul(B, Q)))
+        alpha, beta, Xq = qzmod.gen_eig_qz(Aq, cx.cgram(Q, cx.cmatmul(B, Q)))
         lam = cx.cdiv(alpha, beta)
     else:
         BQ = cx.cmatmul(B, Q)
-        Bq = cx.cmatmul(Q.H, BQ)
+        Bq = cx.cgram(Q, BQ)
         lam, Xq = eigmod.gen_eig(Aq, Bq)
     X = cx.normalize_cols(cx.cmatmul(Q, Xq))
     AX = cx.cmatmul(A, X)
@@ -211,8 +211,8 @@ def _feast_step(Q: CX, A: CX, B, LUb, permb, Sb, z: CX, w: CX,
 def _step_pre(Q: CX, A: CX, B, ortho: str):
     """Orthonormalize + build the reduced pencil (host-RR split, part 1)."""
     Qo = qrmod.orthonormalize(Q, method=ortho)
-    Aq = cx.cmatmul(Qo.H, cx.cmatmul(A, Qo))
-    Bq = None if B is None else cx.cmatmul(Qo.H, cx.cmatmul(B, Qo))
+    Aq = cx.cgram(Qo, cx.cmatmul(A, Qo))   # dd-accurate Gram (see cx.cgram)
+    Bq = None if B is None else cx.cgram(Qo, cx.cmatmul(B, Qo))
     return Qo, Aq, Bq
 
 
@@ -459,14 +459,14 @@ def _dual_pre(Qr: CX, Ql: CX, A: CX, B: CX):
     so Ql^H B Qr = I exactly."""
     from ..ops import svd as svdmod
 
-    M = cx.cmatmul(Ql.H, cx.cmatmul(B, Qr))
+    M = cx.cgram(Ql, cx.cmatmul(B, Qr))
     U, s, Vh = svdmod.svd(M)
     eps = jnp.finfo(s.dtype).eps
     s_inv_sqrt = 1.0 / jnp.sqrt(jnp.maximum(s, eps * jnp.maximum(s[0], 1.0)))
     Qr = cx.scale_cols(cx.cmatmul(Qr, Vh.H), cx.CX(s_inv_sqrt, jnp.zeros_like(s)))
     Ql = cx.scale_cols(cx.cmatmul(Ql, U), cx.CX(s_inv_sqrt, jnp.zeros_like(s)))
-    Aq = cx.cmatmul(Ql.H, cx.cmatmul(A, Qr))
-    Bq = cx.cmatmul(Ql.H, cx.cmatmul(B, Qr))
+    Aq = cx.cgram(Ql, cx.cmatmul(A, Qr))
+    Bq = cx.cgram(Ql, cx.cmatmul(B, Qr))
     return Qr, Ql, Aq, Bq
 
 

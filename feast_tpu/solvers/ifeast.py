@@ -112,8 +112,8 @@ def ifeast(A, X0, nodes: int = 8, iters: int = 10, *,
         terms = jax.vmap(one_node)(z, w)
         Q = CX(jnp.sum(terms.re, 0), jnp.sum(terms.im, 0))
         AQ = _apply(A, Q)
-        Aq = cx.cmatmul(Q.H, AQ)
-        Bq = cx.cmatmul(Q.H, Q)
+        Aq = cx.cgram(Q, AQ)   # dd-accurate Gram (see cx.cgram)
+        Bq = cx.cgram(Q)
         lam, Xq = eigmod.gen_eig(Aq, Bq)
         Xn = cx.normalize_cols(cx.cmatmul(Q, Xq))
         R = _apply(A, Xn) - cx.scale_cols(Xn, lam)
@@ -232,12 +232,12 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
     def _rr_body(Q, A, B):
         Qo = qrmod.orthonormalize(Q, method=ortho)
         AQ = _apply(A, Qo)
-        Aq = cx.cmatmul(Qo.H, AQ)
+        Aq = cx.cgram(Qo, AQ)  # dd-accurate Gram (see cx.cgram)
         if B is None:
             lam, Xq = eigmod.eig(Aq)
         else:
             BQ = _apply(B, Qo)
-            Bq = cx.cmatmul(Qo.H, BQ)
+            Bq = cx.cgram(Qo, BQ)
             lam, Xq = eigmod.gen_eig(Aq, Bq)
         Xn = cx.normalize_cols(cx.cmatmul(Qo, Xq))
         BX = Xn if B is None else _apply(B, Xn)

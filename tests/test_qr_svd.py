@@ -105,7 +105,7 @@ def test_svd_extreme_scale_columns():
     assert np.isfinite(cx.to_numpy(U)).all()
     assert np.isfinite(cx.to_numpy(Vh)).all()
     ref = np.linalg.svd(A, compute_uv=False)
-    np.testing.assert_allclose(s[:6], ref[:6], rtol=1e-10)
+    np.testing.assert_allclose(s[:6], ref[:6], rtol=5e-10)
     # reconstruction to absolute eps*sigma_max
     rec = cx.to_numpy(U) * s[None, :] @ cx.to_numpy(Vh)
     assert np.abs(rec - A).max() < 1e-13
