@@ -113,21 +113,171 @@ def run(N: int = 1000, m0: int = 8, nodes: int = 8, tol: float = 1e-10,
     return rec
 
 
+def step(N, m0, nodes, tol, solve_tol, solve_iters, solver, node_chunk,
+         amg_f32, x_in, state_out, cpu=False):
+    """One refinement sweep in THIS process: RR(X) -> convergence check ->
+    (if not converged) one node-solve sweep; checkpoint the updated moment
+    subspace Q.  The axon TPU worker reliably dies after ~2 consecutive
+    1M-dof sweeps ("TPU worker process crashed"), so the orchestrator runs
+    one sweep per process and restarts crashed steps from the checkpoint."""
+    import jax
+
+    if cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    from feast_tpu.solvers.ifeast import feast_iterative
+
+    K, B, lam = build_pencil(N)
+    n = N * N
+    c = (lam[0] + lam[4]) / 2
+    r = (lam[4] - lam[0]) * 0.75
+    if x_in and os.path.exists(x_in):
+        X0 = np.load(x_in)["Q"]
+    else:
+        rng = np.random.default_rng(0)
+        X0 = rng.standard_normal((n, m0)) + 1j * rng.standard_normal((n, m0))
+    amg_opts = {"dtype": jnp.float32} if amg_f32 else None
+    t0 = time.perf_counter()
+    out = feast_iterative(K, B, X0, c=complex(c), r=float(r), nodes=nodes,
+                          iters=0, tol=tol, precondition="amg",
+                          amg_opts=amg_opts, solver=solver,
+                          solve_tol=solve_tol, solve_iters=solve_iters,
+                          node_chunk=node_chunk, keep_q=True, debug=True)
+    sweep_s = time.perf_counter() - t0
+    from feast_tpu import cx as cxmod
+    Qh = cxmod.to_numpy(out.Q) if out.Q is not None else None
+    lamh = cxmod.to_numpy(out.lam)
+    res = np.asarray(out.res)
+    inside = np.asarray(out.inside)
+    np.savez(state_out, Q=(X0 if out.converged else Qh), lam=lamh,
+             res=res, inside=inside, converged=out.converged,
+             sweep_s=sweep_s)
+    print(json.dumps({"converged": bool(out.converged),
+                      "max_res_inside": (float(res[inside].max())
+                                         if inside.any() else None),
+                      "n_inside": int(inside.sum()),
+                      "sweep_s": round(sweep_s, 2)}), flush=True)
+    return 0
+
+
+def orchestrate(args):
+    """Subprocess-per-sweep driver with crash retry (see `step`)."""
+    import subprocess
+
+    outdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "results")
+    os.makedirs(outdir, exist_ok=True)
+    state = os.path.join(outdir, f"sparse1m_state_N{args.N}.npz")
+    if os.path.exists(state) and not args.resume:
+        os.remove(state)
+    K, B, lam = build_pencil(args.N)  # for final validation
+    n = args.N * args.N
+    c = (lam[0] + lam[4]) / 2
+    r = (lam[4] - lam[0]) * 0.75
+    exact = lam[np.abs(lam - c) <= r]
+    t_all = time.perf_counter()
+    solve_s, crashes, sweeps = 0.0, 0, 0
+    converged = False
+    while sweeps < args.max_sweeps and not converged:
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--one-step", "--state-out", state,
+               "--N", str(args.N), "--m0", str(args.m0),
+               "--nodes", str(args.nodes),
+               "--solve-tol", str(args.solve_tol),
+               "--solve-iters", str(args.solve_iters),
+               "--solver", args.solver]
+        if os.path.exists(state):
+            cmd += ["--x-in", state]
+        if args.node_chunk:
+            cmd += ["--node-chunk", str(args.node_chunk)]
+        if args.amg_f32:
+            cmd += ["--amg-f32"]
+        if args.cpu:
+            cmd += ["--cpu"]
+        try:
+            rc = subprocess.call(cmd, timeout=3600)
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc != 0:
+            crashes += 1
+            print(f"[orchestrator] step crashed (rc={rc}), retry "
+                  f"{crashes}", flush=True)
+            if crashes > args.max_crashes:
+                break
+            continue
+        st = np.load(state)
+        solve_s += float(st["sweep_s"])
+        converged = bool(st["converged"])
+        sweeps += 1
+        print(f"[orchestrator] sweep {sweeps} done, converged={converged}",
+              flush=True)
+    wall = time.perf_counter() - t_all
+    st = np.load(state)
+    lamh, res, inside = st["lam"], st["res"], st["inside"].astype(bool)
+    got = np.sort(lamh[inside].real)
+    ok = (converged and len(got) == len(exact)
+          and np.allclose(got, exact, rtol=1e-5)
+          and float(res[inside].max()) < args.tol)
+    rec = {
+        "n": n, "nnz_K": int(K.nnz), "nnz_B": int(B.nnz), "m0": args.m0,
+        "nodes": args.nodes, "tol": args.tol, "solver": args.solver,
+        "amg_f32": args.amg_f32, "solve_tol": args.solve_tol,
+        "solve_iters": args.solve_iters, "node_chunk": args.node_chunk,
+        "mode": "orchestrated (1 sweep/process, crash-retry)",
+        "solve_wall_s": round(solve_s, 2),
+        "orchestrator_wall_s": round(wall, 2),
+        "n_refinement_iters": sweeps, "worker_crashes_retried": crashes,
+        "found": len(got), "exact_inside": len(exact),
+        "max_res": float(res[inside].max()) if inside.any() else None,
+        "max_eig_relerr": (float(np.max(np.abs(got - exact) / exact))
+                           if len(got) == len(exact) else None),
+        "ok": bool(ok),
+    }
+    with open(os.path.join(outdir, "sparse1m.json"), "w") as f:
+        json.dump(rec, f, indent=1)
+    print(json.dumps(rec))
+    return 0 if ok else 1
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--N", type=int, default=1000)
     ap.add_argument("--m0", type=int, default=8)
     ap.add_argument("--nodes", type=int, default=8)
+    ap.add_argument("--tol", type=float, default=1e-10)
     ap.add_argument("--solve-tol", type=float, default=1e-9)
     ap.add_argument("--solve-iters", type=int, default=120)
     ap.add_argument("--node-chunk", type=int, default=None)
     ap.add_argument("--solver", type=str, default="bicgstab_rr")
     ap.add_argument("--rr", type=str, default="device")
     ap.add_argument("--amg-f32", action="store_true")
+    ap.add_argument("--one-step", action="store_true")
+    ap.add_argument("--orchestrate", action="store_true")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--max-sweeps", type=int, default=10)
+    ap.add_argument("--max-crashes", type=int, default=10)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--x-in", type=str, default=None)
+    ap.add_argument("--state-out", type=str, default=None)
     args = ap.parse_args()
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    rec = run(N=args.N, m0=args.m0, nodes=args.nodes,
+    if args.one_step:
+        return step(args.N, args.m0, args.nodes, args.tol, args.solve_tol,
+                    args.solve_iters, args.solver, args.node_chunk,
+                    args.amg_f32, args.x_in, args.state_out, cpu=args.cpu)
+    if args.orchestrate:
+        return orchestrate(args)
+    rec = run(N=args.N, m0=args.m0, nodes=args.nodes, tol=args.tol,
               solve_tol=args.solve_tol, solve_iters=args.solve_iters,
               solver=args.solver, node_chunk=args.node_chunk, rr=args.rr,
               amg_f32=args.amg_f32)

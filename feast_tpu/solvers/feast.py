@@ -56,6 +56,12 @@ class FeastResult(NamedTuple):
     inside: jax.Array  # (m0,) bool: lam inside contour
     n_iter: int
     converged: bool
+    # final filtered moment sum (the warm-restart subspace for EXACT
+    # continuation across driver calls — restarting from X instead repeats
+    # the RII update of the last returned iterate).  Populated only when a
+    # driver is asked to keep it (feast_iterative(keep_q=True)); None
+    # otherwise.
+    Q: object = None
 
     def filtered(self):
         """Host-side (lam, X, res) restricted to the contour — the

@@ -149,6 +149,7 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
                     ortho: str = "cholqr2", mesh=None,
                     node_chunk: Optional[int] = None,
                     rr: str = "device",
+                    keep_q: bool = False,
                     debug: bool = False) -> FeastResult:
     """RII FEAST with matrix-free iterative node solves (sparse-ready).
 
@@ -389,4 +390,5 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
         Q = Qn
     if not np.asarray(inside).any():
         print("no eigenvalues found in contour!")
-    return FeastResult(lam, Xout, res, inside, n_iter, converged)
+    return FeastResult(lam, Xout, res, inside, n_iter, converged,
+                       Q if keep_q else None)

@@ -314,3 +314,33 @@ def test_feast_iterative_host_rr():
         from feast_tpu.parallel.mesh import node_mesh
         ft.feast_iterative(L, None, X0, c=0.02 + 0j, r=0.02, nodes=8,
                            rr="host", mesh=node_mesh(1))
+
+
+def test_feast_iterative_keep_q_stepping():
+    # keep_q=True + iters=0 gives exact single-sweep stepping: restarting
+    # each sweep from the returned moment subspace Q converges like the
+    # continuous loop (the crash-recovery checkpoint the 1M-dof TPU
+    # benchmark needs — the remote worker dies after ~2 consecutive
+    # 1M-dof sweeps).
+    rng = np.random.default_rng(2)
+    n = 300
+    L = sp.diags([np.full(n, 2.0), -np.ones(n - 1), -np.ones(n - 1)],
+                 [0, 1, -1], format="csr").astype(np.complex128)
+    X = _rand_c(rng, n, 32)
+    kw = dict(c=0.02 + 0j, r=0.02, nodes=8, tol=1e-9, node_chunk=4,
+              solve_iters=300)
+    conv = False
+    for _ in range(12):
+        out = ft.feast_iterative(L, None, X, iters=0, keep_q=True, **kw)
+        if out.converged:
+            conv = True
+            break
+        assert out.Q is not None
+        X = cx.to_numpy(out.Q)
+    lam, _, r = out.filtered()
+    exact = 2.0 - 2.0 * np.cos(np.pi * np.arange(1, n + 1) / (n + 1))
+    want = np.sort(exact[(exact > 0.0) & (exact < 0.04)])
+    assert conv and len(lam) == len(want) and r.max() < 1e-9
+    np.testing.assert_allclose(np.sort(lam.real), want, atol=1e-10)
+    # default: Q not kept
+    assert ft.feast_iterative(L, None, X, iters=0, **kw).Q is None
