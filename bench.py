@@ -211,6 +211,15 @@ def main():
     }
     detail["sparse_solve_nnz_per_s"] = _aux_metric("sparse_nnz_per_s")
     detail["gun_like_4096"] = _aux_metric("gun_small")
+    # BASELINE north-star: 1M-dof sparse GENERALIZED slice to 1e-10,
+    # recorded by `python benchmarks/sparse1m.py --orchestrate` (a ~40 min
+    # real-chip run — too long to recompute per bench invocation; the
+    # JSON carries its own config + residuals for verification)
+    sp1m = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "benchmarks", "results", "sparse1m.json")
+    if os.path.exists(sp1m):
+        with open(sp1m) as f:
+            detail["sparse1m_feast_recorded"] = json.load(f)
     print(json.dumps({
         "metric": "dense_feast_2048_wall_to_1e-10",
         "value": round(wall_s, 4),
