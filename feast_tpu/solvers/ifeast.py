@@ -175,6 +175,12 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
     devices; the matrix-free operators replicate (CSR data is tiny next to
     the Krylov work).
 
+    keep_q: return the final (post-sweep) moment subspace in
+    `FeastResult.Q` — restarting a later call from it (X0=Q, any iters)
+    continues the refinement EXACTLY, which enables single-sweep stepping
+    (`iters=0, keep_q=True`) with host checkpoints between processes
+    (how benchmarks/sparse1m.py survives remote-worker crashes at 1M dof).
+
     node_chunk: process contour nodes in chunks of this size (host loop,
     one compiled program reused across chunks) instead of vmapping the
     Krylov solve over all `nodes` at once.  Block BiCGStab holds ~7 CX
