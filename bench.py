@@ -177,25 +177,32 @@ def gun_small(n=4096):
     return r
 
 
-def _aux_metric(fn_name, timeout_s=2400):
+def _aux_metric(fn_name, timeout_s=2400, attempts=3):
     """Run an aux metric in a SUBPROCESS: a remote-TPU worker crash inside
     one metric must not poison the backend for the rest of the bench (a
-    dead axon backend fails every subsequent dispatch in-process)."""
+    dead axon backend fails every subsequent dispatch in-process).  The
+    axon worker is flaky under sustained 1M-dof dispatch ("TPU worker
+    process crashed", see CLAUDE.md) — retry a couple of times; a fresh
+    process with the primed compile cache restarts cheaply."""
     import subprocess
 
     code = ("import bench, json; bench._setup_jax(); "
             f"print('\\nAUXJSON ' + json.dumps(bench.{fn_name}()))")
-    try:
-        p = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                           text=True, timeout=timeout_s,
-                           cwd=os.path.dirname(os.path.abspath(__file__)))
-        for line in p.stdout.splitlines():
-            if line.startswith("AUXJSON "):
-                return json.loads(line[len("AUXJSON "):])
-        return {"error": "no output", "rc": p.returncode,
-                "stderr": p.stderr[-500:]}
-    except Exception as e:
-        return {"error": repr(e)}
+    last = {"error": "not run"}
+    for _ in range(attempts):
+        try:
+            p = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True,
+                               timeout=timeout_s,
+                               cwd=os.path.dirname(os.path.abspath(__file__)))
+            for line in p.stdout.splitlines():
+                if line.startswith("AUXJSON "):
+                    return json.loads(line[len("AUXJSON "):])
+            last = {"error": "no output", "rc": p.returncode,
+                    "stderr": p.stderr[-500:]}
+        except Exception as e:
+            last = {"error": repr(e)}
+    return last
 
 
 def main():
