@@ -93,7 +93,7 @@ def run(N: int = 1000, m0: int = 8, nodes: int = 8, tol: float = 1e-10,
     exact = lam[np.abs(lam - c) <= r]
     ok = (out.converged and len(got) == n_inside
           and np.allclose(got, exact, rtol=1e-5)
-          and float(res.max()) < tol)
+          and res.size and float(res.max()) < tol)
     rec = {
         "n": n, "nnz_K": int(K.nnz), "nnz_B": int(B.nnz), "m0": m0,
         "nodes": nodes, "tol": tol, "solver": solver, "rr": rr,
@@ -106,8 +106,10 @@ def run(N: int = 1000, m0: int = 8, nodes: int = 8, tol: float = 1e-10,
         "host_build_s": round(build_s, 2),
         "n_refinement_iters": int(out.n_iter),
         "found": len(got), "exact_inside": n_inside,
-        "max_res": float(res.max()),
-        "max_eig_relerr": float(np.max(np.abs(got - exact) / exact)),
+        "max_res": float(res.max()) if res.size else None,
+        "max_eig_relerr": (float(np.max(np.abs(got - exact) / exact))
+                           if len(got) == len(exact) and len(exact)
+                           else None),
         "ok": bool(ok),
     }
     return rec
@@ -191,7 +193,7 @@ def orchestrate(args):
         cmd = [sys.executable, os.path.abspath(__file__),
                "--one-step", "--state-out", state,
                "--N", str(args.N), "--m0", str(args.m0),
-               "--nodes", str(args.nodes),
+               "--nodes", str(args.nodes), "--tol", str(args.tol),
                "--solve-tol", str(args.solve_tol),
                "--solve-iters", str(args.solve_iters),
                "--solver", args.solver]
@@ -221,7 +223,18 @@ def orchestrate(args):
         print(f"[orchestrator] sweep {sweeps} done, converged={converged}",
               flush=True)
     wall = time.perf_counter() - t_all
-    st = np.load(state)
+    try:
+        st = np.load(state)
+    except Exception as e:  # all steps crashed before any checkpoint
+        rec = {"n": n, "mode": "orchestrated", "ok": False,
+               "error": f"no usable checkpoint: {e!r}",
+               "worker_crashes_retried": crashes,
+               "n_refinement_iters": sweeps,
+               "orchestrator_wall_s": round(wall, 2)}
+        with open(os.path.join(outdir, "sparse1m.json"), "w") as f:
+            json.dump(rec, f, indent=1)
+        print(json.dumps(rec))
+        return 1
     lamh, res, inside = st["lam"], st["res"], st["inside"].astype(bool)
     got = np.sort(lamh[inside].real)
     ok = (converged and len(got) == len(exact)

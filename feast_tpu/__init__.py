@@ -7,15 +7,13 @@ companion linearization, and stochastic contour eigenvalue counting —
 batched over contour nodes, sharded over device meshes.
 """
 
-import jax as _jax
-
-# Every dot/matmul/einsum in this framework must run at HIGHEST precision:
-# on TPU the DEFAULT matmul precision lowers even x64-emulated operands to
-# ~bf16x3 passes (measured on-chip: CholeskyQR2 orthogonality 1.7e-5
-# instead of ~1e-14, which capped every FEAST residual near f32 epsilon).
-# The big GEMMs already pass precision=HIGHEST explicitly (cx.cmatmul);
-# this covers the small row-dot solves inside the LU/QR/QZ/Schur kernels.
-_jax.config.update("jax_default_matmul_precision", "highest")
+# NOTE on matmul precision: on TPU the DEFAULT matmul precision lowers
+# even x64-emulated operands to ~bf16x3 passes (measured on-chip:
+# CholeskyQR2 orthogonality 1.7e-5 instead of ~1e-14, capping every FEAST
+# residual near f32 epsilon).  Every dot in this package therefore passes
+# precision=HIGHEST explicitly (cx.cmatmul / cx.hdot / einsum precision
+# args) — the package does NOT mutate the host program's global
+# jax_default_matmul_precision.
 
 from . import config, contour, cx, io, nep, ops, parallel, problems, solvers, utils
 from .contour import (circular_contour_gauss, circular_contour_trapezoidal,

@@ -259,6 +259,15 @@ def creciprocal(a: CX) -> CX:
     return cdiv(as_cx(1.0, a.dtype), a)
 
 
+def hdot(a, b):
+    """Real matmul at Precision.HIGHEST — for the raw row/vector dots
+    inside the LU/QR/QZ/Schur kernels.  jax's DEFAULT matmul precision on
+    TPU lowers even x64-emulated operands to ~bf16x3 passes; every dot in
+    this package must be explicit rather than depending on the host
+    program's global precision config."""
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
 def cdot_cols(a: CX, b: CX) -> CX:
     """Column-wise inner products: sum_i conj(a[i,j]) * b[i,j] -> (cols,)."""
     re = jnp.sum(a.re * b.re + a.im * b.im, axis=0)

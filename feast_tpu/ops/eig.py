@@ -61,20 +61,20 @@ def hessenberg(A: CX):
         beta = jnp.where(vnorm2 > 0, 2.0 / jnp.where(vnorm2 > 0, vnorm2, 1.0), 0.0)
         # A <- (I - beta v v^H) A : w = v^H A
         w = CX(
-            v.re @ A.re + v.im @ A.im,
-            v.re @ A.im - v.im @ A.re,
+            cx.hdot(v.re, A.re) + cx.hdot(v.im, A.im),
+            cx.hdot(v.re, A.im) - cx.hdot(v.im, A.re),
         )
         A = A - _outer(v, w) * beta
         # A <- A (I - beta v v^H) : u = A v
         u = CX(
-            A.re @ v.re - A.im @ v.im,
-            A.re @ v.im + A.im @ v.re,
+            cx.hdot(A.re, v.re) - cx.hdot(A.im, v.im),
+            cx.hdot(A.re, v.im) + cx.hdot(A.im, v.re),
         )
         A = A - _outer(u, v.conj()) * beta
         # Q <- Q (I - beta v v^H)
         qv = CX(
-            Q.re @ v.re - Q.im @ v.im,
-            Q.re @ v.im + Q.im @ v.re,
+            cx.hdot(Q.re, v.re) - cx.hdot(Q.im, v.im),
+            cx.hdot(Q.re, v.im) + cx.hdot(Q.im, v.re),
         )
         Q = Q - _outer(qv, v.conj()) * beta
         return A, Q
@@ -249,8 +249,8 @@ def tri_eigvecs(T: CX) -> CX:
         rowmask = (col_idx > j).astype(T.dtype)
         rowT = CX(T.re[j] * rowmask, T.im[j] * rowmask)
         # num_i = sum_l T[j,l] Y[l,i] for l > j
-        num = CX(rowT.re @ Y.re - rowT.im @ Y.im,
-                 rowT.re @ Y.im + rowT.im @ Y.re)
+        num = CX(cx.hdot(rowT.re, Y.re) - cx.hdot(rowT.im, Y.im),
+                 cx.hdot(rowT.re, Y.im) + cx.hdot(rowT.im, Y.re))
         tjj = CX(T.re[j, j], T.im[j, j])
         den = CX(tjj.re - lam.re, tjj.im - lam.im)
         dmag = cx.cabs(den)

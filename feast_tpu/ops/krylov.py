@@ -153,17 +153,26 @@ def bicgstab_rr(matvec: Callable[[CX], CX], B: CX, x0: Optional[CX] = None,
     x = cx.zeros((n, m), dt) if x0 is None else x0
     npass = max(1, -(-maxiter // replace_every))
 
-    # fori_loop over passes: ONE bicgstab graph compiled, not npass copies
-    # (an unrolled python loop quadrupled remote-tunnel compile time).
-    def one_pass(_, carry):
-        x, it_total = carry
+    # while_loop over passes: ONE bicgstab graph compiled (an unrolled
+    # python loop quadrupled remote-tunnel compile time), and passes stop
+    # as soon as the inner recursion reports convergence — with
+    # solve_iters=1000 defaults npass is ~34, and running them all would
+    # waste ~2 block matvecs per converged pass (review r2).
+    def cond(carry):
+        _, _, k, rel = carry
+        return (k < npass) & (jnp.max(rel) > tol)
+
+    def one_pass(carry):
+        x, it_total, k, _ = carry
         r = B - matvec(x)
         sol = bicgstab(matvec, r, x0=None, tol=tol,
                        maxiter=replace_every, M=M, bnorm=bnorm)
-        return (x + sol.x, it_total + sol.iters)
+        return (x + sol.x, it_total + sol.iters, k + 1, sol.resnorm)
 
-    x, it_total = lax.fori_loop(0, npass, one_pass,
-                                (x, jnp.array(0, jnp.int32)))
+    x, it_total, _, _ = lax.while_loop(
+        cond, one_pass,
+        (x, jnp.array(0, jnp.int32), jnp.array(0, jnp.int32),
+         jnp.full((m,), jnp.inf, dt)))
     # final TRUE relative residual, with the difference scaled to O(1)
     # BEFORE the norm: squaring ~1e-19 entries underflows the emulated
     # f64's f32 exponent range and under-reports the residual
@@ -284,10 +293,11 @@ def gmres(matvec: Callable[[CX], CX], B: CX, x0: Optional[CX] = None,
         y_re, y_im = jax.vmap(solve_col, in_axes=(2, 2, 0), out_axes=(1, 1))(
             H.re, H.im, beta)
         # x += sum_j V_j y_j
-        upd = CX(jnp.einsum("jnm,jm->nm", V.re[:k], y_re)
-                 - jnp.einsum("jnm,jm->nm", V.im[:k], y_im),
-                 jnp.einsum("jnm,jm->nm", V.re[:k], y_im)
-                 + jnp.einsum("jnm,jm->nm", V.im[:k], y_re))
+        hp = jax.lax.Precision.HIGHEST
+        upd = CX(jnp.einsum("jnm,jm->nm", V.re[:k], y_re, precision=hp)
+                 - jnp.einsum("jnm,jm->nm", V.im[:k], y_im, precision=hp),
+                 jnp.einsum("jnm,jm->nm", V.re[:k], y_im, precision=hp)
+                 + jnp.einsum("jnm,jm->nm", V.im[:k], y_re, precision=hp))
         return x + (ident(upd) if M is not None else upd)
 
     def cond(st):

@@ -156,8 +156,8 @@ def _unit_lower_solve_small(L: CX, B: CX) -> CX:
         rowL = _get_row(L, i)
         rowL = CX(rowL.re * mask, rowL.im * mask)
         # num = rowL @ B
-        num = CX(rowL.re @ B.re - rowL.im @ B.im,
-                 rowL.re @ B.im + rowL.im @ B.re)
+        num = CX(cx.hdot(rowL.re, B.re) - cx.hdot(rowL.im, B.im),
+                 cx.hdot(rowL.re, B.im) + cx.hdot(rowL.im, B.re))
         rowB = _get_row(B, i)
         new = rowB - num
         return CX(lax.dynamic_update_slice(B.re, new.re[None, :], (i, 0)),
@@ -179,8 +179,8 @@ def _upper_solve_small(U: CX, B: CX) -> CX:
         mask = (cols > i).astype(U.dtype)
         rowU = _get_row(U, i)
         rowUm = CX(rowU.re * mask, rowU.im * mask)
-        num = CX(rowUm.re @ B.re - rowUm.im @ B.im,
-                 rowUm.re @ B.im + rowUm.im @ B.re)
+        num = CX(cx.hdot(rowUm.re, B.re) - cx.hdot(rowUm.im, B.im),
+                 cx.hdot(rowUm.re, B.im) + cx.hdot(rowUm.im, B.re))
         d = _scalar(U, i, i)
         dmag2 = cx.abs2(d)
         d = cx.where(dmag2 > 0.0, d,

@@ -99,8 +99,8 @@ def solve_lower(L: CX, B: CX, unit: bool = False) -> CX:
         mask = (cols < i).astype(L.dtype)
         rowL = CX(lax.dynamic_slice(L.re, (i, 0), (1, m))[0] * mask,
                   lax.dynamic_slice(L.im, (i, 0), (1, m))[0] * mask)
-        num = CX(rowL.re @ B.re - rowL.im @ B.im,
-                 rowL.re @ B.im + rowL.im @ B.re)
+        num = CX(cx.hdot(rowL.re, B.re) - cx.hdot(rowL.im, B.im),
+                 cx.hdot(rowL.re, B.im) + cx.hdot(rowL.im, B.re))
         rowB = CX(lax.dynamic_slice(B.re, (i, 0), (1, B.shape[1]))[0],
                   lax.dynamic_slice(B.im, (i, 0), (1, B.shape[1]))[0])
         rhs = rowB - num
@@ -132,8 +132,8 @@ def solve_upper(U: CX, B: CX) -> CX:
         mask = (cols > i).astype(U.dtype)
         rowU = CX(lax.dynamic_slice(U.re, (i, 0), (1, m))[0] * mask,
                   lax.dynamic_slice(U.im, (i, 0), (1, m))[0] * mask)
-        num = CX(rowU.re @ B.re - rowU.im @ B.im,
-                 rowU.re @ B.im + rowU.im @ B.re)
+        num = CX(cx.hdot(rowU.re, B.re) - cx.hdot(rowU.im, B.im),
+                 cx.hdot(rowU.re, B.im) + cx.hdot(rowU.im, B.re))
         rowB = CX(lax.dynamic_slice(B.re, (i, 0), (1, B.shape[1]))[0],
                   lax.dynamic_slice(B.im, (i, 0), (1, B.shape[1]))[0])
         d = CX(lax.dynamic_slice(U.re, (i, i), (1, 1))[0, 0],
@@ -232,7 +232,7 @@ def householder_qr(A: CX):
         vnorm2 = jnp.sum(cx.abs2(v))
         beta = jnp.where(vnorm2 > eps * eps, 2.0 / jnp.where(vnorm2 > 0, vnorm2, 1.0), 0.0)
         # A <- (I - beta v v^H) A
-        w = CX(v.re @ A.re + v.im @ A.im, v.re @ A.im - v.im @ A.re)  # v^H A
+        w = CX(cx.hdot(v.re, A.re) + cx.hdot(v.im, A.im), cx.hdot(v.re, A.im) - cx.hdot(v.im, A.re))  # v^H A
         A = A - CX(
             (v.re[:, None] * w.re[None, :] - v.im[:, None] * w.im[None, :]) * beta,
             (v.re[:, None] * w.im[None, :] + v.im[:, None] * w.re[None, :]) * beta,
@@ -254,7 +254,7 @@ def householder_qr(A: CX):
                lax.dynamic_slice(V.im, (0, k), (n, 1))[:, 0])
         vnorm2 = jnp.sum(cx.abs2(v))
         beta = jnp.where(vnorm2 > eps * eps, 2.0 / jnp.where(vnorm2 > 0, vnorm2, 1.0), 0.0)
-        w = CX(v.re @ Q.re + v.im @ Q.im, v.re @ Q.im - v.im @ Q.re)  # v^H Q
+        w = CX(cx.hdot(v.re, Q.re) + cx.hdot(v.im, Q.im), cx.hdot(v.re, Q.im) - cx.hdot(v.im, Q.re))  # v^H Q
         return Q - CX(
             (v.re[:, None] * w.re[None, :] - v.im[:, None] * w.im[None, :]) * beta,
             (v.re[:, None] * w.im[None, :] + v.im[:, None] * w.re[None, :]) * beta,

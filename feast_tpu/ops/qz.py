@@ -313,10 +313,10 @@ def pencil_eigvecs(S: CX, T: CX) -> CX:
         rowmask = (col_idx > j).astype(S.dtype)
         rowS = CX(S.re[j] * rowmask, S.im[j] * rowmask)
         rowT = CX(T.re[j] * rowmask, T.im[j] * rowmask)
-        numS = CX(rowS.re @ Y.re - rowS.im @ Y.im,
-                  rowS.re @ Y.im + rowS.im @ Y.re)
-        numT = CX(rowT.re @ Y.re - rowT.im @ Y.im,
-                  rowT.re @ Y.im + rowT.im @ Y.re)
+        numS = CX(cx.hdot(rowS.re, Y.re) - cx.hdot(rowS.im, Y.im),
+                  cx.hdot(rowS.re, Y.im) + cx.hdot(rowS.im, Y.re))
+        numT = CX(cx.hdot(rowT.re, Y.re) - cx.hdot(rowT.im, Y.im),
+                  cx.hdot(rowT.re, Y.im) + cx.hdot(rowT.im, Y.re))
         num = beta * numS - alpha * numT
         sjj = CX(S.re[j, j], S.im[j, j])
         tjj = CX(T.re[j, j], T.im[j, j])

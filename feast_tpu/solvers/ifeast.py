@@ -331,9 +331,10 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
 
     if use_chunks:
         node_chunk = int(node_chunk)
-        if N % node_chunk:
+        if node_chunk < 1 or N % node_chunk:
             raise ValueError(
-                f"node_chunk={node_chunk} must divide nodes={N}")
+                f"node_chunk={node_chunk} must be a positive divisor of "
+                f"nodes={N}")
         nchunks = N // node_chunk
         warm_list = [cx.zeros((node_chunk, n, m0), dtype)
                      for _ in range(nchunks)]
