@@ -143,3 +143,18 @@ def test_zolotarev_contour_filter_and_feast():
     out = feast(L, X0, contour=k, iters=30, tol=1e-13)
     lam, _, r = out.filtered()
     assert len(lam) == 10 and r.max() < 1e-13
+
+
+def test_cgram_matches_cmatmul():
+    # cx.cgram (elementwise-reduction Gram — the TPU-accurate form) must
+    # equal cmatmul(a.H, b) in exact arithmetic; on CPU both are f64.
+    rng = np.random.default_rng(9)
+    a = rng.standard_normal((500, 6)) + 1j * rng.standard_normal((500, 6))
+    b = rng.standard_normal((500, 4)) + 1j * rng.standard_normal((500, 4))
+    ac, bc = cx.as_cx(a), cx.as_cx(b)
+    G1 = cx.to_numpy(cx.cgram(ac, bc))
+    np.testing.assert_allclose(G1, a.conj().T @ b, rtol=1e-13)
+    G2 = cx.to_numpy(cx.cgram(ac))
+    np.testing.assert_allclose(G2, a.conj().T @ a, rtol=1e-13)
+    np.testing.assert_allclose(G2, cx.to_numpy(cx.cmatmul(ac.H, ac)),
+                               rtol=1e-13)
