@@ -267,16 +267,71 @@ def tri_eigvecs(T: CX) -> CX:
     return Y
 
 
-def eig(A: CX):
+def tri_unit_inv(Y: CX) -> CX:
+    """Inverse of a unit upper-triangular matrix by back-substitution.
+
+    `tri_eigvecs` returns unit upper-triangular Y (diagonal pinned to 1),
+    so X = Y^{-1} exists and is unit upper-triangular: row j is
+    e_j - Y[j, j+1:] @ X[j+1:, :].  Rows of Y^{-1} are left eigenvectors
+    of the triangular Schur factor (Y^{-1} T Y = diag)."""
+    n = Y.shape[0]
+    col_idx = jnp.arange(n)
+    X = cx.eye(n, Y.dtype)
+
+    def body(t, X):
+        j = n - 2 - t
+        rowmask = (col_idx > j).astype(Y.dtype)
+        rowY = CX(Y.re[j] * rowmask, Y.im[j] * rowmask)
+        num = CX(cx.hdot(rowY.re, X.re) - cx.hdot(rowY.im, X.im),
+                 cx.hdot(rowY.re, X.im) + cx.hdot(rowY.im, X.re))
+        newrow = CX(jnp.where(col_idx == j, 1.0, -num.re),
+                    jnp.where(col_idx == j, 0.0, -num.im))
+        return CX(X.re.at[j].set(newrow.re), X.im.at[j].set(newrow.im))
+
+    if n > 1:
+        X = lax.fori_loop(0, n - 1, body, X)
+    return X
+
+
+def _rq_refine(A: CX, w: CX, V: CX, U: CX, kappa_max: float = 1e4):
+    """Two-sided Rayleigh-quotient refinement of Ritz values.
+
+    lam_j = (u_j^H A v_j) / (u_j^H v_j) is second-order accurate in the
+    eigenvector errors, so it scrubs the first-order eigenvalue drift the
+    shifted-QR sweeps accumulate on TPU's emulated f64 (the dots here are
+    SHORT contractions — dd-accurate on chip, unlike the long sweep
+    chains; see CLAUDE.md precision model).  Pairs whose eigenvalue
+    condition number kappa_j = ||u_j|| ||v_j|| / |u_j^H v_j| exceeds
+    kappa_max keep the Schur diagonal: for (near-)defective eigenvalues
+    the RQ's kappa^3-amplified second-order term can exceed the
+    backward-stable first-order one."""
+    AV = cx.cmatmul(A, V)
+    num = cx.cdot_cols(U, AV)
+    den = cx.cdot_cols(U, V)
+    dmag = cx.cabs(den)
+    safe = dmag > 0
+    kappa = cx.col_norms(U) * cx.col_norms(V) / jnp.where(safe, dmag, 1.0)
+    den_s = cx.where(safe, den, cx.as_cx(1.0, A.dtype))
+    w_rq = cx.cdiv(num, den_s)
+    use = safe & (kappa < kappa_max)
+    return cx.where(use, w_rq, w)
+
+
+def eig(A: CX, refine_rq: bool = True):
     """Eigenvalues and right eigenvectors of a dense complex matrix.
 
     Returns (w: CX (n,), V: CX (n,n)) with unit-norm columns.
     TPU-native replacement for LAPACK zgeev (`eigen!`, feast.jl:45).
-    """
+    refine_rq polishes each Ritz value with a guarded two-sided Rayleigh
+    quotient (left vectors from the unit-triangular Y inverse — one extra
+    back-substitution)."""
     T, Z = schur(A)
     w = CX(jnp.diagonal(T.re), jnp.diagonal(T.im))
     Y = tri_eigvecs(T)
     V = Z @ Y
+    if refine_rq:
+        U = Z @ tri_unit_inv(Y).H   # left eigenvectors, U^H V = I exactly
+        w = _rq_refine(A, w, V, U)
     V = cx.normalize_cols(V)
     return w, V
 
