@@ -95,6 +95,80 @@ def _shifted_batch(A: CX, B: Optional[CX], z: CX) -> CX:
     return CX(sre, sim)
 
 
+def _shifted_single(A: CX, B: Optional[CX], zi: CX) -> CX:
+    """S = A - z B for ONE node (B=None means identity) — the scan-mode
+    counterpart of `_shifted_batch`, built on the fly so the full
+    (nodes, n, n) f64 batch is never materialized at large n."""
+    if B is None:
+        idx = jnp.arange(A.shape[0])
+        return CX(A.re.at[idx, idx].add(-zi.re),
+                  A.im.at[idx, idx].add(-zi.im))
+    return CX(A.re - (zi.re * B.re - zi.im * B.im),
+              A.im - (zi.re * B.im + zi.im * B.re))
+
+
+@functools.partial(jax.jit, static_argnames=("solve_f32",))
+def _factor_scan(A: CX, B, z: CX, solve_f32: bool):
+    """Factor the node matrices one at a time (lax.scan over nodes).
+
+    Equivalent to `lu_factor_batched(_shifted_batch(...))` but with O(n^2)
+    temporaries instead of O(nodes * n^2): at n=4096 x 16 nodes the batched
+    form OOMs a 16GB chip — XLA assigns the vmapped LU carry a batch-minor
+    layout whose (8,128) tiling pads the 16-wide node axis to 128 (8x
+    expansion, 8GB per re/im half), and the f64 Sb batch adds 4.3GB more.
+    Scanning keeps each factor's layout natural and peaks at one n x n f64
+    temp."""
+
+    def body(carry, zi):
+        Si = _shifted_single(A, B, zi)
+        if solve_f32:
+            Si = Si.astype(jnp.float32)
+        LU, perm = lumod.lu_factor(Si)
+        return carry, (LU, perm)
+
+    _, (LUb, permb) = lax.scan(body, 0, z)
+    return LUb, permb
+
+
+def _node_update_scan(LUb, permb, z: CX, w: CX, X: CX, R: CX, lam: CX,
+                      solve_dtype, A: CX, B, refine: int = 2,
+                      store: bool = True) -> CX:
+    """Scan-over-nodes form of `_node_update` for large n (see
+    `_factor_scan` for why vmap's batched layouts OOM there).  The moment
+    sum accumulates in the scan carry; iterative-refinement residuals
+    rebuild S_i = A - z_i B elementwise per node instead of reading a
+    stored f64 batch.  store=False factors inside the scan body."""
+    mixed = solve_dtype is not None and solve_dtype != R.re.dtype
+    R_s = R.astype(solve_dtype) if mixed else R
+
+    def body(acc, inp):
+        if store:
+            LU, perm, zi, wi = inp
+        else:
+            zi, wi = inp
+            Si_f = _shifted_single(A, B, zi)
+            LU, perm = lumod.lu_factor(
+                Si_f.astype(solve_dtype) if mixed else Si_f)
+        temp = lumod.lu_solve(LU, perm, R_s)
+        if mixed:
+            temp = temp.astype(X.re.dtype)
+            if refine:
+                Si = _shifted_single(A, B, zi)
+                for _ in range(refine):
+                    resid = R - cx.cmatmul(Si, temp)
+                    corr = lumod.lu_solve(LU, perm,
+                                          resid.astype(solve_dtype))
+                    temp = temp + corr.astype(X.re.dtype)
+        diff = X - temp
+        term = cx.scale_cols(diff, _resolvent(wi, zi, lam))
+        return acc + term, None
+
+    acc0 = CX(jnp.zeros_like(X.re), jnp.zeros_like(X.im))
+    xs = (LUb, permb, z, w) if store else (z, w)
+    acc, _ = lax.scan(body, acc0, xs)
+    return acc
+
+
 def _rayleigh_ritz(Q: CX, A: CX, B: Optional[CX], pencil: str = "lu"):
     """Orthonormalized Rayleigh-Ritz: returns (lam, X, R, res).
 
@@ -196,20 +270,26 @@ def _node_update(LUb, permb, z: CX, w: CX, X: CX, R: CX, lam: CX,
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "params", "ortho", "store",
-                                             "solve_f32", "pencil"))
+                                             "solve_f32", "pencil",
+                                             "node_scan"))
 def _feast_step(Q: CX, A: CX, B, LUb, permb, Sb, z: CX, w: CX,
                 kind: str, params, ortho: str, store: bool,
-                solve_f32: bool, pencil: str = "lu"):
+                solve_f32: bool, pencil: str = "lu",
+                node_scan: bool = False):
     """One FEAST refinement iteration (jitted once per shape)."""
     Qo = qrmod.orthonormalize(Q, method=ortho)
     lam, X, R, res = _rayleigh_ritz(Qo, A, B, pencil)
     inside = _in_mask(lam, kind, params)
-    if not store:
-        LUb, permb = lumod.lu_factor_batched(
-            Sb.astype(jnp.float32) if solve_f32 else Sb)
     solve_dtype = jnp.float32 if solve_f32 else None
-    Sb_ref = Sb if (solve_f32 and Sb.re.ndim == 3) else None
-    Qn = _node_update(LUb, permb, z, w, X, R, lam, solve_dtype, Sb_ref)
+    if node_scan:
+        Qn = _node_update_scan(LUb, permb, z, w, X, R, lam, solve_dtype,
+                               A, B, store=store)
+    else:
+        if not store:
+            LUb, permb = lumod.lu_factor_batched(
+                Sb.astype(jnp.float32) if solve_f32 else Sb)
+        Sb_ref = Sb if (solve_f32 and Sb.re.ndim == 3) else None
+        Qn = _node_update(LUb, permb, z, w, X, R, lam, solve_dtype, Sb_ref)
     return Qn, lam, X, res, inside
 
 
@@ -222,9 +302,11 @@ def _step_pre(Q: CX, A: CX, B, ortho: str):
     return Qo, Aq, Bq
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "params", "solve_f32"))
+@functools.partial(jax.jit, static_argnames=("kind", "params", "solve_f32",
+                                             "node_scan"))
 def _step_post(Qo: CX, A: CX, B, lam: CX, Xq: CX, LUb, permb, Sb,
-               z: CX, w: CX, kind: str, params, solve_f32: bool):
+               z: CX, w: CX, kind: str, params, solve_f32: bool,
+               node_scan: bool = False):
     """Recover Ritz pairs + residuals + node update (host-RR split, part 2)."""
     X = cx.normalize_cols(cx.cmatmul(Qo, Xq))
     AX = cx.cmatmul(A, X)
@@ -233,8 +315,12 @@ def _step_post(Qo: CX, A: CX, B, lam: CX, Xq: CX, LUb, permb, Sb,
     res = cx.col_norms(R)
     inside = _in_mask(lam, kind, params)
     solve_dtype = jnp.float32 if solve_f32 else None
-    Sb_ref = Sb if (solve_f32 and Sb.re.ndim == 3) else None
-    Qn = _node_update(LUb, permb, z, w, X, R, lam, solve_dtype, Sb_ref)
+    if node_scan:
+        Qn = _node_update_scan(LUb, permb, z, w, X, R, lam, solve_dtype,
+                               A, B, store=True)
+    else:
+        Sb_ref = Sb if (solve_f32 and Sb.re.ndim == 3) else None
+        Qn = _node_update(LUb, permb, z, w, X, R, lam, solve_dtype, Sb_ref)
     return Qn, lam, X, res, inside
 
 
@@ -321,7 +407,7 @@ def feast(A, X0, contour: Optional[ct.Contour] = None, *,
           iters: int = 10, tol: float = 1e-12, store: bool = True,
           mixed_prec: bool = False, ortho: str = "cholqr2",
           block: int = 64, debug: bool = False, mesh=None, rr: str = "device",
-          hermitian: bool = False,
+          hermitian: bool = False, node_scan: Optional[bool] = None,
           callback: Optional[Callable] = None) -> FeastResult:
     """Standard linear FEAST: eigenpairs of A inside the contour.
 
@@ -339,7 +425,7 @@ def feast(A, X0, contour: Optional[ct.Contour] = None, *,
     """
     return _drive(A, None, X0, contour, c, r, nodes, iters, tol, store,
                   mixed_prec, ortho, block, debug, callback, mesh, rr,
-                  "hermitian" if hermitian else "lu")
+                  "hermitian" if hermitian else "lu", node_scan)
 
 
 def gen_feast(A, B, X0, contour: Optional[ct.Contour] = None, *,
@@ -348,6 +434,7 @@ def gen_feast(A, B, X0, contour: Optional[ct.Contour] = None, *,
               mixed_prec: bool = False, ortho: str = "cholqr2",
               block: int = 64, debug: bool = False, mesh=None,
               rr: str = "device", pencil: str = "lu",
+              node_scan: Optional[bool] = None,
               callback: Optional[Callable] = None) -> FeastResult:
     """Generalized linear FEAST: A x = lam B x inside the contour
     (gen_feast!, feast.jl:82-156).
@@ -358,36 +445,58 @@ def gen_feast(A, B, X0, contour: Optional[ct.Contour] = None, *,
         raise ValueError("gen_feast requires B; use feast() for B=I")
     return _drive(A, B, X0, contour, c, r, nodes, iters, tol, store,
                   mixed_prec, ortho, block, debug, callback, mesh, rr,
-                  pencil)
+                  pencil, node_scan)
+
+
+def _node_scan_auto(n: int, n_nodes: int) -> bool:
+    """Auto-select the scan-over-nodes path: the vmapped node batch needs
+    O(nodes * n^2) f64 HBM plus an 8x-padded batch-minor LU copy (see
+    `_factor_scan`), which OOMs a 16GB chip around n=4096 x 16 nodes.
+    Threshold: full f64 Sb batch > 2GB."""
+    return 2 * n_nodes * n * n * 8 > 2_000_000_000
 
 
 def _drive(A, B, X0, contour, c, r, nodes, iters, tol, store,
            mixed_prec, ortho, block, debug, callback, mesh=None,
-           rr: str = "device", pencil: str = "lu") -> FeastResult:
+           rr: str = "device", pencil: str = "lu",
+           node_scan: Optional[bool] = None) -> FeastResult:
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     A, B, Q, contour, z, w = _prepare(A, B, X0, contour, c, r, nodes, dtype)
     solve_f32 = bool(mixed_prec)
-    Sb = _shifted_batch(A, B, z)
+    if node_scan is None:
+        node_scan = mesh is None and _node_scan_auto(A.shape[0], z.shape[0])
     if mesh is not None:
-        from ..parallel import mesh as pmesh
-        Sb = pmesh.shard_nodes(Sb, mesh)
-        z = pmesh.shard_nodes(z, mesh)
-        w = pmesh.shard_nodes(w, mesh)
-        A = pmesh.replicate(A, mesh)
-        Q = pmesh.replicate(Q, mesh)
-        if B is not None:
-            B = pmesh.replicate(B, mesh)
-    if store:
-        LUb, permb = jax.jit(lumod.lu_factor_batched)(
-            Sb.astype(jnp.float32) if solve_f32 else Sb)
-        if solve_f32:
-            Sb_pass = Sb  # f64 shifted matrices kept for iterative refinement
+        node_scan = False  # node axis must stay vmapped to shard over devices
+    if node_scan:
+        # large-n path: never materialize the (nodes, n, n) batch
+        Sb_pass = CX(jnp.zeros((0,)), jnp.zeros((0,)))
+        if store:
+            LUb, permb = _factor_scan(A, B, z, solve_f32=solve_f32)
         else:
-            Sb_pass = CX(jnp.zeros((0,)), jnp.zeros((0,)))  # unused
+            LUb = CX(jnp.zeros((0,)), jnp.zeros((0,)))
+            permb = jnp.zeros((0,), jnp.int32)
     else:
-        LUb = CX(jnp.zeros((0,)), jnp.zeros((0,)))
-        permb = jnp.zeros((0,), jnp.int32)
-        Sb_pass = Sb
+        Sb = _shifted_batch(A, B, z)
+        if mesh is not None:
+            from ..parallel import mesh as pmesh
+            Sb = pmesh.shard_nodes(Sb, mesh)
+            z = pmesh.shard_nodes(z, mesh)
+            w = pmesh.shard_nodes(w, mesh)
+            A = pmesh.replicate(A, mesh)
+            Q = pmesh.replicate(Q, mesh)
+            if B is not None:
+                B = pmesh.replicate(B, mesh)
+        if store:
+            LUb, permb = jax.jit(lumod.lu_factor_batched)(
+                Sb.astype(jnp.float32) if solve_f32 else Sb)
+            if solve_f32:
+                Sb_pass = Sb  # f64 shifted matrices kept for refinement
+            else:
+                Sb_pass = CX(jnp.zeros((0,)), jnp.zeros((0,)))  # unused
+        else:
+            LUb = CX(jnp.zeros((0,)), jnp.zeros((0,)))
+            permb = jnp.zeros((0,), jnp.int32)
+            Sb_pass = Sb
 
     lam = X = res = inside = None
     n_iter = 0
@@ -398,16 +507,20 @@ def _drive(A, B, X0, contour, c, r, nodes, iters, tol, store,
             Qo, Aq, Bq = _step_pre(Q, A, B, ortho)
             lam_h, Xq_h = _host_eig(Aq, Bq, pencil)
             if not store:
-                LUb, permb = jax.jit(lumod.lu_factor_batched)(
-                    Sb_pass.astype(jnp.float32) if solve_f32 else Sb_pass)
+                if node_scan:
+                    LUb, permb = _factor_scan(A, B, z, solve_f32=solve_f32)
+                else:
+                    LUb, permb = jax.jit(lumod.lu_factor_batched)(
+                        Sb_pass.astype(jnp.float32) if solve_f32
+                        else Sb_pass)
             Qn, lam, X, res, inside = _step_post(
                 Qo, A, B, lam_h, Xq_h, LUb, permb, Sb_pass, z, w,
-                contour.kind, contour.params, solve_f32)
+                contour.kind, contour.params, solve_f32, node_scan)
         else:
             Qn, lam, X, res, inside = _feast_step(
                 Q, A, B, LUb, permb, Sb_pass, z, w,
                 contour.kind, contour.params, ortho, store, solve_f32,
-                pencil)
+                pencil, node_scan)
         res_h = np.asarray(res)
         inside_h = np.asarray(inside)
         if debug:

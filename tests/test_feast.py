@@ -280,3 +280,38 @@ def test_dimension_validation():
     with pytest.raises(ValueError, match="square"):
         feast(np.ones((4, 5), dtype=np.complex128),
               np.ones((4, 2), dtype=np.complex128), c=0.5, r=1.0)
+
+
+def test_node_scan_matches_vmap(diag25):
+    # scan-over-nodes path (the large-n memory path: one node at a time,
+    # S_i rebuilt on the fly) must agree with the batched vmap path across
+    # store / mixed_prec / rr option combinations
+    A, X0 = diag25
+    ref = feast(A, X0, c=1.5 + 0j, r=2.0, nodes=8, node_scan=False)
+    lam_ref = np.sort(ref.filtered()[0].real)
+    for store in (True, False):
+        for mp in (False, True):
+            for rr in ("device", "host"):
+                r = feast(A, X0, c=1.5 + 0j, r=2.0, nodes=8, iters=15,
+                          node_scan=True, store=store, mixed_prec=mp, rr=rr)
+                lam, _, res = r.filtered()
+                np.testing.assert_allclose(np.sort(lam.real), lam_ref,
+                                           atol=1e-9)
+                assert res.max() < 1e-9
+
+
+def test_node_scan_generalized():
+    rng = np.random.default_rng(3)
+    n, m0 = 60, 10
+    A = np.diag(np.arange(1.0, n + 1.0)).astype(np.complex128)
+    A += 0.02 * (rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n)))
+    B = np.eye(n) + 0.1 * np.diag(np.ones(n - 1), 1) + 0.1 * np.diag(np.ones(n - 1), -1)
+    B = B.astype(np.complex128)
+    X0 = _x0(rng, n, m0)
+    r1 = gen_feast(A, B, X0, c=4.0 + 0j, r=2.5, nodes=8, node_scan=True,
+                   mixed_prec=True, tol=1e-10, iters=15)
+    r2 = gen_feast(A, B, X0, c=4.0 + 0j, r=2.5, nodes=8, node_scan=False,
+                   tol=1e-10, iters=15)
+    assert r1.converged and r2.converged
+    np.testing.assert_allclose(np.sort(r1.filtered()[0].real),
+                               np.sort(r2.filtered()[0].real), atol=1e-8)
