@@ -194,6 +194,47 @@ def _upper_solve_small(U: CX, B: CX) -> CX:
     return lax.fori_loop(0, b, body, B)
 
 
+def lu_diag_inv(LU: CX, block: int):
+    """Explicit inverses of the (block, block) diagonal blocks of L (unit
+    lower) and U — the solve accelerator for latency-bound repeated solves.
+
+    The in-place small triangular solves are b-step sequential fori_loops;
+    a blocked (n, k) solve runs 2*(n/b)*b sequential steps (~8200 at
+    n=4096, ~14ms each solve on a remote TPU).  Multiplying by a
+    precomputed inverse turns every diagonal-block solve into one MXU GEMM.
+    Inversion costs ~one extra solve (amortized over the store=True FEAST
+    iteration loop); |L| <= 1 from partial pivoting keeps the inverses
+    well-scaled, and the mixed-precision IR loop scrubs the extra
+    rounding.  Returns (invL, invU), each (nblocks, block, block) stacked
+    over PADDED blocks (identity extension, matching `_lu_solve_fori`)."""
+    n = LU.shape[0]
+    n_pad = -(-n // block) * block
+    if n_pad != n:
+        ext = n_pad - n
+        LUre = jnp.pad(LU.re, ((0, ext), (0, ext)))
+        LUre = LUre.at[jnp.arange(n, n_pad), jnp.arange(n, n_pad)].set(1.0)
+        LU = CX(LUre, jnp.pad(LU.im, ((0, ext), (0, ext))))
+    nb = n_pad // block
+    starts = jnp.arange(nb) * block
+
+    def get(j):
+        return CX(lax.dynamic_slice(LU.re, (j, j), (block, block)),
+                  lax.dynamic_slice(LU.im, (j, j), (block, block)))
+
+    D = jax.vmap(get)(starts)
+    rows = jnp.arange(block)
+    lmask = (rows[:, None] > rows[None, :]).astype(LU.dtype)
+    umask = (rows[:, None] <= rows[None, :]).astype(LU.dtype)
+    eyeb = jnp.eye(block, dtype=LU.dtype)
+    Ld = CX(D.re * lmask + eyeb[None], D.im * lmask)
+    Ud = CX(D.re * umask, D.im * umask)
+    eye_cx = CX(jnp.broadcast_to(eyeb, (nb, block, block)),
+                jnp.zeros((nb, block, block), LU.dtype))
+    invL = jax.vmap(_unit_lower_solve_small)(Ld, eye_cx)
+    invU = jax.vmap(_upper_solve_small)(Ud, eye_cx)
+    return invL, invU
+
+
 # ---------------------------------------------------------------------------
 # fori-loop factorization (large n): one aliased carry buffer
 # ---------------------------------------------------------------------------
@@ -379,7 +420,14 @@ def lu_factor(A: CX, block: int = 0, loop: str = "auto"):
     return A, perm
 
 
-def _lu_solve_fori(LU: CX, perm, B: CX, block: int) -> CX:
+def _dinv_block(dinv_part: CX, jb, block: int) -> CX:
+    return CX(lax.dynamic_slice(dinv_part.re, (jb, 0, 0),
+                                (1, block, block))[0],
+              lax.dynamic_slice(dinv_part.im, (jb, 0, 0),
+                                (1, block, block))[0])
+
+
+def _lu_solve_fori(LU: CX, perm, B: CX, block: int, dinv=None) -> CX:
     """lu_solve via lax.fori_loop over blocks (large n: one carry buffer,
     tiny compiled graph — the unrolled variant's ~80-block program is the
     compile-time long pole at n ~ 10^4).  Masked full-width row slabs, so
@@ -409,9 +457,12 @@ def _lu_solve_fori(LU: CX, perm, B: CX, block: int) -> CX:
         upd = cx.cmatmul(Lprev, X)
         Xd = CX(lax.dynamic_slice(X.re, (j, 0), (block, m)) - upd.re,
                 lax.dynamic_slice(X.im, (j, 0), (block, m)) - upd.im)
-        Ld = CX(lax.dynamic_slice(LU.re, (j, j), (block, block)),
-                lax.dynamic_slice(LU.im, (j, j), (block, block)))
-        Xd = _unit_lower_solve_small(Ld, Xd)
+        if dinv is not None:
+            Xd = cx.cmatmul(_dinv_block(dinv[0], jb, block), Xd)
+        else:
+            Ld = CX(lax.dynamic_slice(LU.re, (j, j), (block, block)),
+                    lax.dynamic_slice(LU.im, (j, j), (block, block)))
+            Xd = _unit_lower_solve_small(Ld, Xd)
         return CX(lax.dynamic_update_slice(X.re, Xd.re, (j, 0)),
                   lax.dynamic_update_slice(X.im, Xd.im, (j, 0)))
 
@@ -427,9 +478,12 @@ def _lu_solve_fori(LU: CX, perm, B: CX, block: int) -> CX:
         upd = cx.cmatmul(Upost, X)
         Xd = CX(lax.dynamic_slice(X.re, (j, 0), (block, m)) - upd.re,
                 lax.dynamic_slice(X.im, (j, 0), (block, m)) - upd.im)
-        Ud = CX(lax.dynamic_slice(LU.re, (j, j), (block, block)),
-                lax.dynamic_slice(LU.im, (j, j), (block, block)))
-        Xd = _upper_solve_small(Ud, Xd)
+        if dinv is not None:
+            Xd = cx.cmatmul(_dinv_block(dinv[1], jb, block), Xd)
+        else:
+            Ud = CX(lax.dynamic_slice(LU.re, (j, j), (block, block)),
+                    lax.dynamic_slice(LU.im, (j, j), (block, block)))
+            Xd = _upper_solve_small(Ud, Xd)
         return CX(lax.dynamic_update_slice(X.re, Xd.re, (j, 0)),
                   lax.dynamic_update_slice(X.im, Xd.im, (j, 0)))
 
@@ -437,13 +491,21 @@ def _lu_solve_fori(LU: CX, perm, B: CX, block: int) -> CX:
     return CX(X.re[:n], X.im[:n])
 
 
-def lu_solve(LU: CX, perm, B: CX, block: int = 0, loop: str = "auto") -> CX:
-    """Solve A X = B given (LU, perm) from `lu_factor`.  B is (n, k)."""
+def lu_solve(LU: CX, perm, B: CX, block: int = 0, loop: str = "auto",
+             dinv=None) -> CX:
+    """Solve A X = B given (LU, perm) from `lu_factor`.  B is (n, k).
+
+    dinv: optional (invL, invU) from `lu_diag_inv` — replaces the
+    sequential diagonal-block substitutions with MXU GEMMs (the repeated-
+    solve fast path; see lu_diag_inv).  The block size is taken from dinv
+    when given."""
     n = LU.shape[0]
+    if dinv is not None:
+        block = dinv[0].shape[-1]
     if loop == "auto":
         loop = "fori" if n > 4096 else "unrolled"
     if loop == "fori":
-        return _lu_solve_fori(LU, perm, B, block or 512)
+        return _lu_solve_fori(LU, perm, B, block or 512, dinv)
     block = block or _auto_block(n)
     X = CX(B.re[perm], B.im[perm])
     # forward: L X = B  (unit lower)
@@ -453,8 +515,14 @@ def lu_solve(LU: CX, perm, B: CX, block: int = 0, loop: str = "auto") -> CX:
             Lj = CX(LU.re[j:j + b, :j], LU.im[j:j + b, :j])
             upd = cx.cmatmul(Lj, CX(X.re[:j], X.im[:j]))
             X = CX(X.re.at[j:j + b].add(-upd.re), X.im.at[j:j + b].add(-upd.im))
-        Ld = CX(LU.re[j:j + b, j:j + b], LU.im[j:j + b, j:j + b])
-        Xd = _unit_lower_solve_small(Ld, CX(X.re[j:j + b], X.im[j:j + b]))
+        Xj = CX(X.re[j:j + b], X.im[j:j + b])
+        if dinv is not None:
+            jb = j // block
+            Xd = cx.cmatmul(CX(dinv[0].re[jb][:b, :b],
+                               dinv[0].im[jb][:b, :b]), Xj)
+        else:
+            Ld = CX(LU.re[j:j + b, j:j + b], LU.im[j:j + b, j:j + b])
+            Xd = _unit_lower_solve_small(Ld, Xj)
         X = CX(X.re.at[j:j + b].set(Xd.re), X.im.at[j:j + b].set(Xd.im))
     # backward: U X = Y
     starts = list(range(0, n, block))
@@ -464,8 +532,14 @@ def lu_solve(LU: CX, perm, B: CX, block: int = 0, loop: str = "auto") -> CX:
             Uj = CX(LU.re[j:j + b, j + b:], LU.im[j:j + b, j + b:])
             upd = cx.cmatmul(Uj, CX(X.re[j + b:], X.im[j + b:]))
             X = CX(X.re.at[j:j + b].add(-upd.re), X.im.at[j:j + b].add(-upd.im))
-        Ud = CX(LU.re[j:j + b, j:j + b], LU.im[j:j + b, j:j + b])
-        Xd = _upper_solve_small(Ud, CX(X.re[j:j + b], X.im[j:j + b]))
+        Xj = CX(X.re[j:j + b], X.im[j:j + b])
+        if dinv is not None:
+            jb = j // block
+            Xd = cx.cmatmul(CX(dinv[1].re[jb][:b, :b],
+                               dinv[1].im[jb][:b, :b]), Xj)
+        else:
+            Ud = CX(LU.re[j:j + b, j:j + b], LU.im[j:j + b, j:j + b])
+            Xd = _upper_solve_small(Ud, Xj)
         X = CX(X.re.at[j:j + b].set(Xd.re), X.im.at[j:j + b].set(Xd.im))
     return X
 

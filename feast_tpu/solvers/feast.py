@@ -119,27 +119,92 @@ def _factor_scan(A: CX, B, z: CX, solve_f32: bool):
     Scanning keeps each factor's layout natural and peaks at one n x n f64
     temp."""
 
+    n = A.shape[0]
+    sblock = 512 if n > 4096 else lumod._auto_block(n)
+
     def body(carry, zi):
         Si = _shifted_single(A, B, zi)
         if solve_f32:
             Si = Si.astype(jnp.float32)
         LU, perm = lumod.lu_factor(Si)
-        return carry, (LU, perm)
+        # diagonal-block inverses: repeated solves become pure MXU GEMMs
+        # (the sequential block substitutions are the latency long pole of
+        # the scan-mode solve; see lu.lu_diag_inv)
+        dinv = lumod.lu_diag_inv(LU, sblock)
+        return carry, (LU, perm, dinv)
 
-    _, (LUb, permb) = lax.scan(body, 0, z)
-    return LUb, permb
+    _, (LUb, permb, dinvb) = lax.scan(body, 0, z)
+    return LUb, permb, dinvb
+
+
+def _apply_op_batch(A: CX, B, T: CX, z: CX) -> CX:
+    """S_i T_i = (A - z_i B) T_i for a node-stacked block T (nodes, n, m0),
+    as ONE wide GEMM: A @ [T_1 | ... | T_k] minus the elementwise shift
+    z_i (B)T_i.  16 skinny (n, m0) emulated-f64 GEMMs cost ~16x the A-read
+    traffic of one (n, k*m0) GEMM — measured 33ms each at n=4096, so
+    batching saves ~1s/iteration there."""
+    k, n, m0 = T.re.shape
+    flat = CX(T.re.transpose(1, 0, 2).reshape(n, k * m0),
+              T.im.transpose(1, 0, 2).reshape(n, k * m0))
+    AT_f = cx.cmatmul(A, flat)
+    AT = CX(AT_f.re.reshape(n, k, m0).transpose(1, 0, 2),
+            AT_f.im.reshape(n, k, m0).transpose(1, 0, 2))
+    if B is None:
+        BT = T
+    else:
+        BT_f = cx.cmatmul(B, flat)
+        BT = CX(BT_f.re.reshape(n, k, m0).transpose(1, 0, 2),
+                BT_f.im.reshape(n, k, m0).transpose(1, 0, 2))
+    zre = z.re[:, None, None]
+    zim = z.im[:, None, None]
+    return CX(AT.re - (zre * BT.re - zim * BT.im),
+              AT.im - (zre * BT.im + zim * BT.re))
 
 
 def _node_update_scan(LUb, permb, z: CX, w: CX, X: CX, R: CX, lam: CX,
                       solve_dtype, A: CX, B, refine: int = 2,
-                      store: bool = True) -> CX:
+                      store: bool = True, dinvb=None) -> CX:
     """Scan-over-nodes form of `_node_update` for large n (see
-    `_factor_scan` for why vmap's batched layouts OOM there).  The moment
-    sum accumulates in the scan carry; iterative-refinement residuals
-    rebuild S_i = A - z_i B elementwise per node instead of reading a
-    stored f64 batch.  store=False factors inside the scan body."""
+    `_factor_scan` for why vmap's batched layouts OOM there).
+
+    store=True mixed precision: the f32 triangular solves scan one node at
+    a time (natural layouts), while each iterative-refinement residual is
+    ONE wide emulated-f64 GEMM over the node-stacked solutions
+    (`_apply_op_batch`) — S_i is never materialized.  store=False keeps
+    the fully per-node body (factor inside the scan, per-node IR) since
+    stacking the factors would reintroduce the store=True footprint."""
     mixed = solve_dtype is not None and solve_dtype != R.re.dtype
     R_s = R.astype(solve_dtype) if mixed else R
+
+    if store and mixed:
+        def solve_all(rhs_stack):
+            """Scan the f32 solves; rhs_stack (nodes, n, m0) or None (=R_s)."""
+            def body(_, inp):
+                if dinvb is None:
+                    (LU, perm), rest = inp[:2], inp[2:]
+                    dinv = None
+                else:
+                    (LU, perm, dinv), rest = inp[:3], inp[3:]
+                rhs = R_s if rhs_stack is None else rest[0].astype(solve_dtype)
+                return 0, lumod.lu_solve(LU, perm, rhs, dinv=dinv)
+            xs = (LUb, permb) if dinvb is None else (LUb, permb, dinvb)
+            if rhs_stack is not None:
+                xs = xs + (rhs_stack,)
+            _, out = lax.scan(body, 0, xs)
+            return out.astype(X.re.dtype)
+
+        temps = solve_all(None)                      # (nodes, n, m0)
+        for _ in range(refine):
+            ST = _apply_op_batch(A, B, temps, z)     # S_i temp_i, batched
+            resid = CX(R.re[None] - ST.re, R.im[None] - ST.im)
+            temps = temps + solve_all(resid)
+        diff = CX(X.re[None] - temps.re, X.im[None] - temps.im)
+        phi = jax.vmap(lambda zi_re, zi_im, wi_re, wi_im: _resolvent(
+            CX(wi_re, wi_im), CX(zi_re, zi_im), lam))(
+                z.re, z.im, w.re, w.im)              # (nodes, m0)
+        terms = CX(diff.re * phi.re[:, None, :] - diff.im * phi.im[:, None, :],
+                   diff.re * phi.im[:, None, :] + diff.im * phi.re[:, None, :])
+        return CX(jnp.sum(terms.re, axis=0), jnp.sum(terms.im, axis=0))
 
     def body(acc, inp):
         if store:
@@ -272,7 +337,7 @@ def _node_update(LUb, permb, z: CX, w: CX, X: CX, R: CX, lam: CX,
 @functools.partial(jax.jit, static_argnames=("kind", "params", "ortho", "store",
                                              "solve_f32", "pencil",
                                              "node_scan"))
-def _feast_step(Q: CX, A: CX, B, LUb, permb, Sb, z: CX, w: CX,
+def _feast_step(Q: CX, A: CX, B, LUb, permb, dinvb, Sb, z: CX, w: CX,
                 kind: str, params, ortho: str, store: bool,
                 solve_f32: bool, pencil: str = "lu",
                 node_scan: bool = False):
@@ -283,7 +348,7 @@ def _feast_step(Q: CX, A: CX, B, LUb, permb, Sb, z: CX, w: CX,
     solve_dtype = jnp.float32 if solve_f32 else None
     if node_scan:
         Qn = _node_update_scan(LUb, permb, z, w, X, R, lam, solve_dtype,
-                               A, B, store=store)
+                               A, B, store=store, dinvb=dinvb)
     else:
         if not store:
             LUb, permb = lumod.lu_factor_batched(
@@ -304,7 +369,7 @@ def _step_pre(Q: CX, A: CX, B, ortho: str):
 
 @functools.partial(jax.jit, static_argnames=("kind", "params", "solve_f32",
                                              "node_scan"))
-def _step_post(Qo: CX, A: CX, B, lam: CX, Xq: CX, LUb, permb, Sb,
+def _step_post(Qo: CX, A: CX, B, lam: CX, Xq: CX, LUb, permb, dinvb, Sb,
                z: CX, w: CX, kind: str, params, solve_f32: bool,
                node_scan: bool = False):
     """Recover Ritz pairs + residuals + node update (host-RR split, part 2)."""
@@ -317,7 +382,7 @@ def _step_post(Qo: CX, A: CX, B, lam: CX, Xq: CX, LUb, permb, Sb,
     solve_dtype = jnp.float32 if solve_f32 else None
     if node_scan:
         Qn = _node_update_scan(LUb, permb, z, w, X, R, lam, solve_dtype,
-                               A, B, store=True)
+                               A, B, store=True, dinvb=dinvb)
     else:
         Sb_ref = Sb if (solve_f32 and Sb.re.ndim == 3) else None
         Qn = _node_update(LUb, permb, z, w, X, R, lam, solve_dtype, Sb_ref)
@@ -467,11 +532,12 @@ def _drive(A, B, X0, contour, c, r, nodes, iters, tol, store,
         node_scan = mesh is None and _node_scan_auto(A.shape[0], z.shape[0])
     if mesh is not None:
         node_scan = False  # node axis must stay vmapped to shard over devices
+    dinvb = None
     if node_scan:
         # large-n path: never materialize the (nodes, n, n) batch
         Sb_pass = CX(jnp.zeros((0,)), jnp.zeros((0,)))
         if store:
-            LUb, permb = _factor_scan(A, B, z, solve_f32=solve_f32)
+            LUb, permb, dinvb = _factor_scan(A, B, z, solve_f32=solve_f32)
         else:
             LUb = CX(jnp.zeros((0,)), jnp.zeros((0,)))
             permb = jnp.zeros((0,), jnp.int32)
@@ -508,17 +574,18 @@ def _drive(A, B, X0, contour, c, r, nodes, iters, tol, store,
             lam_h, Xq_h = _host_eig(Aq, Bq, pencil)
             if not store:
                 if node_scan:
-                    LUb, permb = _factor_scan(A, B, z, solve_f32=solve_f32)
+                    LUb, permb, dinvb = _factor_scan(
+                        A, B, z, solve_f32=solve_f32)
                 else:
                     LUb, permb = jax.jit(lumod.lu_factor_batched)(
                         Sb_pass.astype(jnp.float32) if solve_f32
                         else Sb_pass)
             Qn, lam, X, res, inside = _step_post(
-                Qo, A, B, lam_h, Xq_h, LUb, permb, Sb_pass, z, w,
+                Qo, A, B, lam_h, Xq_h, LUb, permb, dinvb, Sb_pass, z, w,
                 contour.kind, contour.params, solve_f32, node_scan)
         else:
             Qn, lam, X, res, inside = _feast_step(
-                Q, A, B, LUb, permb, Sb_pass, z, w,
+                Q, A, B, LUb, permb, dinvb, Sb_pass, z, w,
                 contour.kind, contour.params, ortho, store, solve_f32,
                 pencil, node_scan)
         res_h = np.asarray(res)

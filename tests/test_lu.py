@@ -78,3 +78,27 @@ def test_fori_loop_variant_matches_unrolled():
         X = lu.lu_solve(LU, p, B)
         r = np.abs(A @ cx.to_numpy(X) - cx.to_numpy(B)).max()
         assert r < 1e-10 * np.abs(A).max(), (n, r)
+
+
+def test_lu_diag_inv_solve_matches():
+    # dinv fast path (diagonal-block inverses -> GEMM substitutions) must
+    # match the plain substitution solve, including a non-block-multiple n
+    import jax.numpy as jnp
+    from feast_tpu import cx
+    from feast_tpu.ops import lu as lumod
+
+    rng = np.random.default_rng(7)
+    for n in (96, 130):
+        a = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+        b = rng.standard_normal((n, 5)) + 1j * rng.standard_normal((n, 5))
+        A = cx.from_numpy(a, jnp.float64)
+        B = cx.from_numpy(b, jnp.float64)
+        LU, perm = lumod.lu_factor(A)
+        x_ref = cx.to_numpy(lumod.lu_solve(LU, perm, B, block=32))
+        dinv = lumod.lu_diag_inv(LU, 32)
+        x_fast = cx.to_numpy(lumod.lu_solve(LU, perm, B, dinv=dinv))
+        np.testing.assert_allclose(x_fast, x_ref, atol=1e-10)
+        # fori path with dinv
+        x_fori = cx.to_numpy(lumod.lu_solve(LU, perm, B, loop="fori",
+                                            dinv=dinv))
+        np.testing.assert_allclose(x_fori, x_ref, atol=1e-10)
