@@ -336,7 +336,35 @@ def eig(A: CX, refine_rq: bool = True):
     return w, V
 
 
-def gen_eig(A: CX, B: CX):
+def _rq_refine_pencil(A: CX, B: CX, w: CX, V: CX, U: CX,
+                      kappa_max: float = 1e4):
+    """Two-sided Rayleigh-quotient refinement on the PENCIL (A, B):
+    lam_j = (u_j^H A v_j) / (u_j^H B v_j) with u_j a LEFT pencil
+    eigenvector (u^H A = lam u^H B).  Second-order accurate in both
+    eigenvector errors AND independent of the B^{-1}A reduction error that
+    `gen_eig` introduces through its LU solve — this is what scrubs the
+    ~5e-9 lambda drift on late clustered reduced pencils (the on-chip
+    rr_bisect3 eig_err plateau; the standard-eig analog is `_rq_refine`).
+    The dots are short contractions — dd-accurate on TPU emulated f64."""
+    AV = cx.cmatmul(A, V)
+    BV = cx.cmatmul(B, V)
+    num = cx.cdot_cols(U, AV)
+    den = cx.cdot_cols(U, BV)
+    dmag = cx.cabs(den)
+    safe = dmag > 0
+    # scale-invariant guard: with B = I this reduces exactly to
+    # _rq_refine's kappa = ||u|| ||v|| / |u^H v|
+    n = A.shape[0]
+    bscale = cx.fro_norm(B) / jnp.sqrt(jnp.asarray(float(n), B.re.dtype))
+    kappa = (cx.col_norms(U) * cx.col_norms(V) * bscale
+             / jnp.where(safe, dmag, 1.0))
+    den_s = cx.where(safe, den, cx.as_cx(1.0, A.dtype))
+    w_rq = cx.cdiv(num, den_s)
+    use = safe & (kappa < kappa_max)
+    return cx.where(use, w_rq, w)
+
+
+def gen_eig(A: CX, B: CX, refine_rq: bool = True):
     """Generalized eigenproblem A x = lambda B x for small dense pairs.
 
     TPU-native replacement for LAPACK zggev (`eigen!(Aq, Bq)` at feast.jl:122,
@@ -345,14 +373,29 @@ def gen_eig(A: CX, B: CX):
     Reduction B^{-1} A -> standard Schur eig.  Valid when B is invertible —
     which holds at every call site in the FEAST family: the Rayleigh-Ritz
     B_q = Q^H B Q with orthonormal Q, and rank-truncated Hankel pencils.
-    (A full QZ iteration for singular-B pencils is a planned extension.)
-    Returns (w, V) with A V ~= B V diag(w).
+    (`ops.qz.gen_eig_qz` handles singular-B pencils.)
+
+    refine_rq polishes each Ritz value with a guarded two-sided PENCIL
+    Rayleigh quotient: left pencil eigenvectors are recovered as
+    U = B^{-H} W_C where W_C are the left eigenvectors of C = B^{-1}A
+    (w^H C = lam w^H  =>  (B^{-H}w)^H A = lam (B^{-H}w)^H B), costing one
+    extra small LU of B^H.  Returns (w, V) with A V ~= B V diag(w).
     """
     from . import lu as lumod
 
     LU, perm = lumod.lu_factor(B)
     C = lumod.lu_solve(LU, perm, A)
-    return eig(C)
+    if not refine_rq:
+        return eig(C, refine_rq=False)
+    T, Z = schur(C)
+    w = CX(jnp.diagonal(T.re), jnp.diagonal(T.im))
+    Y = tri_eigvecs(T)
+    V = Z @ Y
+    Wc = Z @ tri_unit_inv(Y).H          # left eigenvectors of C
+    LUh, permh = lumod.lu_factor(B.H)
+    U = lumod.lu_solve(LUh, permh, Wc)  # left eigenvectors of the pencil
+    w = _rq_refine_pencil(A, B, w, V, U)
+    return w, cx.normalize_cols(V)
 
 
 def eig_left(A: CX):

@@ -336,14 +336,82 @@ def pencil_eigvecs(S: CX, T: CX) -> CX:
     return Y
 
 
-def gen_eig_qz(A: CX, B: CX):
+def pencil_left_nullvecs(S: CX, T: CX) -> CX:
+    """Conjugated left null vectors of the triangular pencil (S, T).
+
+    Column i of the returned H satisfies, entrywise over rows j,
+      (beta_i S[j,j] - alpha_i T[j,j]) h[j]
+          = - sum_{l<j} (beta_i S[l,j] - alpha_i T[l,j]) h[l],
+    with h[i] = 1 and support on rows [i, n) — the forward-substitution
+    mirror of `pencil_eigvecs`.  Then u_i = Q conj(h_i) is a LEFT
+    eigenvector of the original pencil: u_i^H A = lam_i u_i^H B for
+    A = Q S Z^H, B = Q T Z^H (conjugating turns the adjoint lower-
+    triangular null problem into this plain forward substitution)."""
+    n = S.shape[0]
+    alpha = CX(jnp.diagonal(S.re), jnp.diagonal(S.im))
+    beta = CX(jnp.diagonal(T.re), jnp.diagonal(T.im))
+    eps = jnp.finfo(S.dtype).eps
+    smln = eps * jnp.maximum(cx.fro_norm(S) + cx.fro_norm(T), 1.0)
+    H = cx.eye(n, S.dtype)
+    row_idx = jnp.arange(n)
+
+    def body(t, H):
+        j = t + 1
+        lmask = (row_idx < j).astype(S.dtype)
+        colS = CX(S.re[:, j] * lmask, S.im[:, j] * lmask)
+        colT = CX(T.re[:, j] * lmask, T.im[:, j] * lmask)
+        numS = CX(cx.hdot(colS.re, H.re) - cx.hdot(colS.im, H.im),
+                  cx.hdot(colS.re, H.im) + cx.hdot(colS.im, H.re))
+        numT = CX(cx.hdot(colT.re, H.re) - cx.hdot(colT.im, H.im),
+                  cx.hdot(colT.re, H.im) + cx.hdot(colT.im, H.re))
+        num = beta * numS - alpha * numT
+        sjj = CX(S.re[j, j], S.im[j, j])
+        tjj = CX(T.re[j, j], T.im[j, j])
+        den = beta * sjj - alpha * tjj
+        dmag = cx.cabs(den)
+        den = cx.where(dmag < smln,
+                       CX(jnp.full((n,), smln, S.dtype),
+                          jnp.zeros((n,), S.dtype)),
+                       den)
+        val = cx.cdiv(CX(-num.re, -num.im), den)
+        upd = row_idx < j
+        newrow = cx.where(upd, val, CX(H.re[j], H.im[j]))
+        return CX(H.re.at[j].set(newrow.re), H.im.at[j].set(newrow.im))
+
+    if n > 1:
+        H = lax.fori_loop(0, n - 1, body, H)
+    return H
+
+
+def gen_eig_qz(A: CX, B: CX, refine_rq: bool = True,
+               kappa_max: float = 1e4):
     """Generalized eigenpairs via full QZ: returns (alpha, beta, V) with
     A V diag(beta) = B V diag(alpha).  lam = alpha/beta; beta ~ 0 marks
     infinite eigenvalues (the reference's ggev alpha/beta convention,
-    lapack.jl:96)."""
+    lapack.jl:96).
+
+    refine_rq polishes each pair with the two-sided pencil Rayleigh
+    quotient (alpha, beta) <- (u^H A v, u^H B v) — division-free, so
+    infinite eigenvalues refine as gracefully as finite ones; pairs with
+    eigenvalue condition number above kappa_max keep the backward-stable
+    Schur diagonals (see ops.eig._rq_refine)."""
     S, T, Q, Z = qz(A, B)
     alpha = CX(jnp.diagonal(S.re), jnp.diagonal(S.im))
     beta = CX(jnp.diagonal(T.re), jnp.diagonal(T.im))
     Y = pencil_eigvecs(S, T)
-    V = cx.normalize_cols(cx.cmatmul(Z, Y))
-    return alpha, beta, V
+    V = cx.cmatmul(Z, Y)
+    if refine_rq:
+        U = cx.cmatmul(Q, pencil_left_nullvecs(S, T).conj())
+        num = cx.cdot_cols(U, cx.cmatmul(A, V))
+        den = cx.cdot_cols(U, cx.cmatmul(B, V))
+        mag = jnp.sqrt(cx.abs2(num) + cx.abs2(den))
+        n = A.shape[0]
+        scale = ((cx.fro_norm(A) + cx.fro_norm(B))
+                 / jnp.sqrt(jnp.asarray(float(n), A.re.dtype)))
+        safe = mag > 0
+        kappa = (cx.col_norms(U) * cx.col_norms(V) * scale
+                 / jnp.where(safe, mag, 1.0))
+        use = safe & (kappa < kappa_max)
+        alpha = cx.where(use, num, alpha)
+        beta = cx.where(use, den, beta)
+    return alpha, beta, cx.normalize_cols(V)

@@ -200,3 +200,36 @@ def test_tri_unit_inv():
     Xi = feig.tri_unit_inv(Y)
     P = cx.to_numpy(Xi @ Y)
     np.testing.assert_allclose(P, np.eye(12), atol=1e-12)
+
+
+def test_gen_eig_pencil_rq_clustered():
+    """The pencil two-sided RQ refinement (gen_eig refine_rq) reaches
+    near-machine eigenvalue accuracy on a clustered non-normal pencil —
+    the late-FEAST reduced-pencil regime where the raw B^{-1}A reduction
+    drifts (VERDICT r2 weak #5 / rr_bisect3 eig_err)."""
+    rng = np.random.default_rng(7)
+    n, sep = 32, 1e-5
+    lam = np.concatenate([
+        1.0 + sep * np.arange(6) + 1j * sep * rng.standard_normal(6),
+        3.0 + rng.standard_normal(n - 6) + 1j * rng.standard_normal(n - 6)])
+    X = _rand_c(n, seed=7) / np.sqrt(n) + 3 * np.eye(n)
+    B = np.eye(n) + 0.3 * _rand_c(n, seed=8) / np.sqrt(n)
+    A = B @ X @ np.diag(lam) @ np.linalg.inv(X)
+
+    def max_err(wd):
+        err, pool = 0.0, list(lam)
+        for v in wd:
+            i = int(np.argmin(np.abs(np.array(pool) - v)))
+            err = max(err, abs(pool[i] - v) / max(abs(pool[i]), 1.0))
+            pool.pop(i)
+        return err
+
+    Ax, Bx = cx.from_numpy(A), cx.from_numpy(B)
+    e_raw = max_err(cx.to_numpy(feig.gen_eig(Ax, Bx, refine_rq=False)[0]))
+    w, V = feig.gen_eig(Ax, Bx)
+    e_rq = max_err(cx.to_numpy(w))
+    assert e_rq < 5e-14
+    assert e_rq <= max(e_raw * 2, 5e-14)
+    # refined eigenvectors still satisfy the pencil
+    R = (A @ cx.to_numpy(V) - B @ cx.to_numpy(V) * cx.to_numpy(w)[None, :])
+    assert np.linalg.norm(R, axis=0).max() < 1e-12

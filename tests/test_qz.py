@@ -94,3 +94,54 @@ def test_qz_matches_gen_eig_on_nice_pencil():
     cost = np.abs(lam_qz[:, None] - lam_ge[None, :])
     r_, c_ = linear_sum_assignment(cost)
     assert cost[r_, c_].max() < 1e-11
+
+
+def test_qz_pencil_rq_refinement_clustered():
+    """gen_eig_qz's division-free (alpha, beta) <- (u^H A v, u^H B v)
+    refinement on a clustered pencil: must reach near-machine accuracy and
+    never degrade the raw QZ diagonals (kappa guard)."""
+    rng = np.random.default_rng(3)
+    n, sep = 24, 1e-6
+    lam = np.concatenate([
+        2.0 + sep * np.arange(5) * (1 + 1j),
+        -1.0 + rng.standard_normal(n - 5) + 1j * rng.standard_normal(n - 5)])
+    X = _rand_c(rng, n, n) / np.sqrt(n) + 2.5 * np.eye(n)
+    B = np.eye(n) + 0.25 * _rand_c(rng, n, n) / np.sqrt(n)
+    A = B @ X @ np.diag(lam) @ np.linalg.inv(X)
+
+    def max_err(wd):
+        err, pool = 0.0, list(lam)
+        for v in wd:
+            i = int(np.argmin(np.abs(np.array(pool) - v)))
+            err = max(err, abs(pool[i] - v) / max(abs(pool[i]), 1.0))
+            pool.pop(i)
+        return err
+
+    Ax, Bx = cx.from_numpy(A), cx.from_numpy(B)
+    a0, b0, _ = qzmod.gen_eig_qz(Ax, Bx, refine_rq=False)
+    a1, b1, _ = qzmod.gen_eig_qz(Ax, Bx)
+    e_raw = max_err(cx.to_numpy(a0) / cx.to_numpy(b0))
+    e_rq = max_err(cx.to_numpy(a1) / cx.to_numpy(b1))
+    assert e_rq < 5e-13
+    assert e_rq <= max(e_raw * 2, 5e-13)
+
+
+def test_qz_rq_keeps_infinite_eigenvalues():
+    """Refinement must not destroy the beta ~ 0 encoding of infinite
+    eigenvalues on a singular-B pencil."""
+    rng = np.random.default_rng(11)
+    n = 8
+    A = _rand_c(rng, n, n)
+    B = _rand_c(rng, n, n)
+    B[:, -2:] = 0.0  # rank n-2: two infinite eigenvalues
+    al, be, V = qzmod.gen_eig_qz(cx.from_numpy(A), cx.from_numpy(B))
+    alpha, beta = cx.to_numpy(al), cx.to_numpy(be)
+    scale = np.sqrt(np.abs(alpha) ** 2 + np.abs(beta) ** 2)
+    n_inf = int((np.abs(beta) / scale < 1e-8).sum())
+    assert n_inf == 2
+    # finite pairs match scipy
+    fin = np.abs(beta) / scale >= 1e-8
+    got = np.sort_complex(alpha[fin] / beta[fin])
+    ref = sla.eigvals(A, B)
+    ref = np.sort_complex(ref[np.isfinite(ref)])
+    np.testing.assert_allclose(got, ref, rtol=1e-8, atol=1e-8)
