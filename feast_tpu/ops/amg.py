@@ -71,13 +71,15 @@ class AMG(NamedTuple):
 
 def _shifted_op(A_op, B_op, z: CX):
     """S = A - z*B on the shared structure: same class, combined data."""
-    from .sparse import CSR, DIA
+    from .sparse import BELL, CSR, DIA
 
     a, b = A_op.data, B_op.data
     d = CX(a.re - (z.re * b.re - z.im * b.im),
            a.im - (z.re * b.im + z.im * b.re))
     if isinstance(A_op, DIA):
         return DIA(d, A_op.offsets, A_op.shape)
+    if isinstance(A_op, BELL):
+        return BELL(d, A_op.colb, A_op.shape)
     return CSR(d, A_op.indices, A_op.row_ids, A_op.shape)
 
 
@@ -237,11 +239,13 @@ def build_amg(A, B=None, *, theta: float = 0.08, omega: float = 2.0 / 3.0,
                cx.from_numpy(Bc, dtype))
 
 
-def _pair_ops(Au, Bu, dtype, dia_fill: float = 0.45):
+def _pair_ops(Au, Bu, dtype, dia_fill: float = 0.45,
+              bell_bs: int = 16, bell_max_fill: float = 32.0):
     """Build the (A, B) union-pattern operator pair — DIA when the union
-    pattern is banded densely enough, else CSR.  Both must share one
-    structure so S(z) combines their data arrays elementwise."""
-    from .sparse import CSR, DIA
+    pattern is banded densely enough, BELL for unstructured patterns whose
+    block fill is acceptable, else CSR.  Both must share one structure so
+    S(z) combines their data arrays elementwise."""
+    from .sparse import BELL, CSR, DIA, bell_fill
 
     coo = Au.tocoo()  # Au/Bu share the stored pattern (union construction)
     offs = np.unique(coo.col.astype(np.int64) - coo.row.astype(np.int64))
@@ -265,12 +269,19 @@ def _pair_ops(Au, Bu, dtype, dia_fill: float = 0.45):
                        op.shape)
 
         return on(offs, A_op), on(offs, B_op)
+    if bell_fill(Au, bell_bs) <= bell_max_fill:
+        return BELL.pair_from_scipy(Au, Bu, bell_bs, dtype)
     return CSR.from_scipy(Au, dtype), CSR.from_scipy(Bu, dtype)
 
 
-def _csr_op(M, dtype):
-    from .sparse import CSR
+def _csr_op(M, dtype, bell_bs: int = 16, bell_max_fill: float = 32.0):
+    """Single-operator builder for P/R: BELL when the aggregation map's
+    block fill is acceptable (it inherits A's locality after reordering),
+    else CSR."""
+    from .sparse import BELL, CSR, bell_fill
 
+    if bell_fill(M, bell_bs) <= bell_max_fill:
+        return BELL.from_scipy(M, bell_bs, dtype)
     return CSR.from_scipy(M, dtype)
 
 
@@ -302,12 +313,14 @@ def hierarchy_nnz(amg: AMG):
 
 
 def _cast_op(op, dtype):
-    """Cast a CSR/DIA operator's data to `dtype` (structure unchanged)."""
-    from .sparse import CSR, DIA
+    """Cast a CSR/DIA/BELL operator's data to `dtype` (structure unchanged)."""
+    from .sparse import BELL, CSR, DIA
 
     d = CX(op.data.re.astype(dtype), op.data.im.astype(dtype))
     if isinstance(op, DIA):
         return DIA(d, op.offsets, op.shape)
+    if isinstance(op, BELL):
+        return BELL(d, op.colb, op.shape)
     return CSR(d, op.indices, op.row_ids, op.shape)
 
 

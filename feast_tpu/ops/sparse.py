@@ -233,14 +233,221 @@ class DIA:
         return CX(re, im)
 
 
-def as_operator(A, dtype=None, dia_fill: float = 0.45):
-    """Coerce scipy-sparse/dense/CX/CSR/DIA to the best device operator.
+@jax.tree_util.register_pytree_node_class
+class BELL:
+    """Blocked-ELL complex matrix — the unstructured-sparsity SpMM format.
 
-    Picks DIA when the matrix is banded with reasonably dense diagonals
-    (stored DIA entries <= nnz / dia_fill), since the shifted-slice SpMM
-    beats the gather path whenever the extra explicit zeros are cheap;
-    otherwise CSR."""
-    if A is None or isinstance(A, (CX, CSR, DIA)):
+    The TPU executes the CSR gather+segment_sum SpMM ~200x off the HBM
+    roofline (measured: random-pattern CSR 4.2 GB/s vs 840 GB/s stream,
+    benchmarks/results/spmm_bandwidth.json) because it gathers and
+    scatters m-wide single rows — tiny irregular transfers.  BELL fixes
+    both pathologies at once:
+
+      * rows are grouped into BLOCK rows of `bs`; each block row stores a
+        fixed number `kmax` of dense (bs, bs) blocks (ELL-style padding
+        with zero blocks pointing at block-column 0), so the only gather
+        is of (bs, m) X block rows — bs*m-element contiguous chunks
+        instead of m-element rows;
+      * the product is one batched (nbr*kmax) complex GEMM
+        y[r] = sum_k data[r, k] @ X[colb[r, k]] via einsum — the k-sum is
+        a contraction, so there is NO scatter at all.
+
+    Fill (stored/nnz) is the price: dense bs x bs blocks on a point-sparse
+    pattern pad heavily, and padding grows with bs while gather efficiency
+    shrinks with it — `bs` is therefore measured, not guessed (see
+    benchmarks/bell_tune.py).  Best used AFTER bandwidth-reduction
+    reordering (ops.reorder.rcm_permutation), which clusters nnz into few
+    blocks per block row.
+
+    This is the TPU-native answer to the reference's "UMFPACK factors any
+    SparseMatrixCSC" generality (test/generalized_feast.jl:7-24): the
+    iterative solvers see any sparsity pattern at usable bandwidth.
+
+    Layout: data (nbr, kmax, bs, bs) CX, colb (nbr, kmax) int32 block-
+    column ids; `shape` is the LOGICAL shape (pre-padding)."""
+
+    def __init__(self, data: CX, colb, shape):
+        self.data = data
+        self.colb = colb
+        self.shape = tuple(shape)
+
+    def tree_flatten(self):
+        return (self.data, self.colb), self.shape
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, aux)
+
+    @property
+    def bs(self):
+        return self.data.re.shape[2]
+
+    @property
+    def kmax(self):
+        return self.data.re.shape[1]
+
+    @property
+    def nnz(self):
+        # stored entries (blocks are dense in this format), like DIA.nnz
+        d = self.data.re.shape
+        return d[0] * d[1] * d[2] * d[3]
+
+    @staticmethod
+    def _structure(A, bs):
+        """Host-side block structure of a scipy CSR: returns
+        (colb (nbr, kmax) int32, blk_of_nnz, r_in_blk, c_in_blk) where the
+        last three map each stored nnz to (flat block slot, row-in-block,
+        col-in-block) for data filling."""
+        import scipy.sparse as sp
+
+        A = sp.csr_matrix(A)
+        n, m = A.shape
+        coo = A.tocoo()
+        nbr = -(-n // bs)
+        ncb = -(-m // bs)
+        brow = coo.row // bs
+        bcol = coo.col // bs
+        keys = brow.astype(np.int64) * ncb + bcol
+        uk, inv = np.unique(keys, return_inverse=True)
+        ub_row = (uk // ncb).astype(np.int64)
+        ub_col = (uk % ncb).astype(np.int64)
+        # rank of each unique block within its block row (uk is sorted, so
+        # blocks of one row are consecutive)
+        counts = np.bincount(ub_row, minlength=nbr)
+        kmax = max(int(counts.max()) if counts.size else 1, 1)
+        row_start = np.zeros(nbr + 1, dtype=np.int64)
+        np.cumsum(counts, out=row_start[1:])
+        k_of_block = np.arange(uk.size) - row_start[ub_row]
+        colb = np.zeros((nbr, kmax), dtype=np.int32)
+        colb[ub_row, k_of_block] = ub_col.astype(np.int32)
+        blk_of_nnz = ub_row[inv] * kmax + k_of_block[inv]
+        return (colb, blk_of_nnz, (coo.row % bs).astype(np.int64),
+                (coo.col % bs).astype(np.int64), coo.data, nbr, kmax)
+
+    @classmethod
+    def from_scipy(cls, A, bs: int = 16, dtype=None):
+        dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64
+                          else jnp.float32)
+        import scipy.sparse as sp
+
+        A = sp.csr_matrix(A)
+        colb, blk, ri, ci, vals, nbr, kmax = cls._structure(A, bs)
+        data = np.zeros((nbr * kmax, bs, bs), dtype=np.complex128)
+        data[blk, ri, ci] = vals
+        data = data.reshape(nbr, kmax, bs, bs)
+        return cls(cx.from_numpy(data, dtype), jnp.asarray(colb), A.shape)
+
+    @classmethod
+    def pair_from_scipy(cls, Au, Bu, bs: int = 16, dtype=None):
+        """Two matrices on ONE shared structure (for AMG union pairs:
+        S(z) = A - zB must combine data elementwise).  Au and Bu must have
+        identical sparsity patterns (ops.amg._union_pair guarantees it);
+        the block structure is built once from the union."""
+        dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64
+                          else jnp.float32)
+        import scipy.sparse as sp
+
+        Au = sp.csr_matrix(Au).sorted_indices()
+        Bu = sp.csr_matrix(Bu).sorted_indices()
+        colb, blk, ri, ci, avals, nbr, kmax = cls._structure(Au, bs)
+        colb_j = jnp.asarray(colb)
+        out = []
+        for vals in (avals, Bu.tocoo().data):
+            data = np.zeros((nbr * kmax, bs, bs), dtype=np.complex128)
+            data[blk, ri, ci] = vals
+            out.append(cls(cx.from_numpy(data.reshape(nbr, kmax, bs, bs),
+                                         dtype), colb_j, Au.shape))
+        return out[0], out[1]
+
+    def matvec(self, X: CX) -> CX:
+        """A @ X for X (n_cols_of_A, m): one block-row gather of X + one
+        batched block GEMM (contraction over k and the block column — no
+        scatter).
+
+        The gather operand is the FLATTENED (ncb, bs*m) view: measured on
+        the real chip (2026-08-19 microbenchmark, 96MB gathered/iter),
+        gathering (bs*m)-element rows from a 2-D operand runs 5-7x faster
+        than the same bytes as (bs, m) slices of a 3-D operand
+        (bs=8,m=16: 252 vs 43 GB/s; bs=32,m=16: 556 vs 77 GB/s)."""
+        n, mcols = self.shape
+        bs = self.bs
+        m = X.re.shape[1]
+        ncb = -(-mcols // bs)
+        pad = ncb * bs - mcols
+        Xp = (CX(jnp.pad(X.re, ((0, pad), (0, 0))),
+                 jnp.pad(X.im, ((0, pad), (0, 0)))) if pad else X)
+        X2 = CX(Xp.re.reshape(ncb, bs * m), Xp.im.reshape(ncb, bs * m))
+        nbr, kmax = self.colb.shape
+        G = CX(X2.re[self.colb].reshape(nbr, kmax, bs, m),
+               X2.im[self.colb].reshape(nbr, kmax, bs, m))
+        hi = jax.lax.Precision.HIGHEST
+        # 3-real-multiply complex GEMM (cx.cmatmul's Karatsuba form)
+        p1 = jnp.einsum("rkab,rkbm->ram", self.data.re, G.re, precision=hi)
+        p2 = jnp.einsum("rkab,rkbm->ram", self.data.im, G.im, precision=hi)
+        p3 = jnp.einsum("rkab,rkbm->ram", self.data.re + self.data.im,
+                        G.re + G.im, precision=hi)
+        nbr = self.colb.shape[0]
+        Y = CX((p1 - p2).reshape(nbr * bs, m),
+               (p3 - p1 - p2).reshape(nbr * bs, m))
+        return CX(Y.re[:n], Y.im[:n])
+
+    def diagonal(self) -> CX:
+        n = self.shape[0]
+        bs = self.bs
+        nbr = self.colb.shape[0]
+        ii = jnp.arange(bs)
+        dblk = CX(self.data.re[:, :, ii, ii], self.data.im[:, :, ii, ii])
+        on_diag = (self.colb == jnp.arange(nbr)[:, None])[..., None]
+        d = CX(jnp.sum(jnp.where(on_diag, dblk.re, 0.0), axis=1),
+               jnp.sum(jnp.where(on_diag, dblk.im, 0.0), axis=1))
+        return CX(d.re.reshape(-1)[:n], d.im.reshape(-1)[:n])
+
+    def todense(self) -> CX:
+        n, m = self.shape
+        bs, nbr, kmax = self.bs, self.colb.shape[0], self.kmax
+        ncb = -(-m // bs)
+        re = jnp.zeros((nbr, ncb, bs, bs), self.data.re.dtype)
+        im = jnp.zeros_like(re)
+        r = jnp.repeat(jnp.arange(nbr), kmax)
+        c = self.colb.reshape(-1)
+        re = re.at[r, c].add(self.data.re.reshape(-1, bs, bs))
+        im = im.at[r, c].add(self.data.im.reshape(-1, bs, bs))
+        re = re.transpose(0, 2, 1, 3).reshape(nbr * bs, ncb * bs)
+        im = im.transpose(0, 2, 1, 3).reshape(nbr * bs, ncb * bs)
+        return CX(re[:n, :m], im[:n, :m])
+
+
+def bell_fill(A, bs: int = 16) -> float:
+    """Stored-entries / nnz ratio BELL would pay for this matrix at block
+    size `bs` (host-side, structure only)."""
+    import scipy.sparse as sp
+
+    A = sp.csr_matrix(A)
+    coo = A.tocoo()
+    nbr = -(-A.shape[0] // bs)
+    ncb = -(-A.shape[1] // bs)
+    keys = (coo.row // bs).astype(np.int64) * ncb + coo.col // bs
+    uk = np.unique(keys)
+    counts = np.bincount((uk // ncb).astype(np.int64), minlength=nbr)
+    kmax = max(int(counts.max()) if counts.size else 1, 1)
+    return nbr * kmax * bs * bs / max(A.nnz, 1)
+
+
+def as_operator(A, dtype=None, dia_fill: float = 0.45,
+                bell_bs: int = 16, bell_max_fill: float = 32.0):
+    """Coerce scipy-sparse/dense/CX/CSR/DIA/BELL to the best device operator.
+
+    Selection (measured hierarchy, benchmarks/results/spmm_bandwidth.json):
+      1. DIA when the matrix is banded with reasonably dense diagonals
+         (stored DIA entries <= nnz / dia_fill) — shifted-slice SpMM at
+         ~85% of the stream roofline;
+      2. BELL (blocked-ELL) for everything else whose block fill at
+         `bell_bs` stays under `bell_max_fill` — block gathers + batched
+         GEMM, the unstructured-pattern path (pair with
+         ops.reorder.rcm_permutation to cluster the blocks first);
+      3. CSR as the last resort (gather+segment_sum, ~200x off roofline —
+         correctness fallback only)."""
+    if A is None or isinstance(A, (CX, CSR, DIA, BELL)):
         return A
     import scipy.sparse as sp
 
@@ -250,6 +457,8 @@ def as_operator(A, dtype=None, dia_fill: float = 0.45):
     offs = np.unique(Ac.tocoo().col - Ac.tocoo().row)
     if len(offs) * Ac.shape[0] * dia_fill <= Ac.nnz:
         return DIA.from_scipy(Ac, dtype)
+    if bell_fill(Ac, bell_bs) <= bell_max_fill:
+        return BELL.from_scipy(Ac, bell_bs, dtype)
     return CSR.from_scipy(Ac, dtype)
 
 
@@ -258,7 +467,7 @@ def shifted_matvec(A, B, z: CX):
     def apply(M, X):
         if M is None:
             return X
-        if isinstance(M, (CSR, DIA)):
+        if isinstance(M, (CSR, DIA, BELL)):
             return M.matvec(X)
         return cx.cmatmul(M, X)
 
@@ -276,7 +485,7 @@ def jacobi_preconditioner(A, B, z: CX):
     def diag_of(M):
         if M is None:
             return None
-        if isinstance(M, (CSR, DIA)):
+        if isinstance(M, (CSR, DIA, BELL)):
             return M.diagonal()
         return CX(jnp.diagonal(M.re), jnp.diagonal(M.im))
 

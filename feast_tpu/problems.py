@@ -295,3 +295,53 @@ def fiber_like(n: int = 2400, seed: int = 0) -> SPMF:
     return SPMF([(A, one),
                  (np.eye(n, dtype=np.complex128), neg_z),
                  (C.astype(np.complex128), s_f)])
+
+
+def fem2d_unstructured(n_points: int = 4000, seed: int = 0,
+                       dirichlet: bool = True):
+    """Genuinely UNSTRUCTURED sparse generalized pencil: P1 finite-element
+    stiffness K and mass M on a Delaunay triangulation of random points in
+    the unit square (the matrix class the reference feeds to UMFPACK —
+    arbitrary SparseMatrixCSC, test/generalized_feast.jl:7-24 — and the
+    adversarial case for structured TPU SpMM formats: no bands, no
+    constant offsets, random vertex ordering).
+
+    Returns (K, M, points) with K, M scipy CSR (complex128).  With
+    dirichlet=True the convex-hull boundary nodes are eliminated, so K is
+    SPD and the pencil (K, M) has the usual Laplace-Dirichlet spectrum
+    ~ lam_k = O(k) * pi^2-ish on the unit square."""
+    import scipy.sparse as sp
+    from scipy.spatial import Delaunay
+
+    rng = np.random.default_rng(seed)
+    pts = rng.random((n_points, 2))
+    tri = Delaunay(pts)
+    t = tri.simplices  # (nt, 3)
+    p0, p1, p2 = pts[t[:, 0]], pts[t[:, 1]], pts[t[:, 2]]
+    # edge vectors and (signed, then abs) areas
+    d1 = p1 - p0
+    d2 = p2 - p0
+    det = d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0]
+    area = 0.5 * np.abs(det)
+    ok = area > 1e-14  # drop degenerate slivers
+    t, d1, d2, det, area = t[ok], d1[ok], d2[ok], det[ok], area[ok]
+    # gradients of the three barycentric basis functions (nt, 3, 2)
+    g1 = np.stack([d2[:, 1], -d2[:, 0]], axis=1) / det[:, None]
+    g2 = np.stack([-d1[:, 1], d1[:, 0]], axis=1) / det[:, None]
+    g0 = -(g1 + g2)
+    G = np.stack([g0, g1, g2], axis=1)
+    # local stiffness K_ij = area * g_i . g_j ; local mass area/12*(1+d_ij)
+    KL = area[:, None, None] * np.einsum("tid,tjd->tij", G, G)
+    ML = (area / 12.0)[:, None, None] * (np.ones((3, 3)) + np.eye(3))
+    rows = np.repeat(t, 3, axis=1).ravel()
+    cols = np.tile(t, (1, 3)).ravel()
+    nv = n_points
+    K = sp.coo_matrix((KL.ravel(), (rows, cols)), shape=(nv, nv)).tocsr()
+    M = sp.coo_matrix((ML.ravel(), (rows, cols)), shape=(nv, nv)).tocsr()
+    if dirichlet:
+        bnd = np.unique(tri.convex_hull)
+        keep = np.setdiff1d(np.arange(nv), bnd)
+        K = K[keep][:, keep].tocsr()
+        M = M[keep][:, keep].tocsr()
+        pts = pts[keep]
+    return (K.astype(np.complex128), M.astype(np.complex128), pts)

@@ -767,15 +767,21 @@ def dual_gen_feast(A, B, Xr0, Xl0, contour: Optional[ct.Contour] = None, *,
 
 @functools.partial(jax.jit, static_argnames=("kind", "params", "ortho",
                                              "iters", "tol", "solve_f32",
-                                             "pencil"))
-def _feast_compiled(Q: CX, A: CX, B, LUb, permb, Sb, z: CX, w: CX,
+                                             "pencil", "node_scan"))
+def _feast_compiled(Q: CX, A: CX, B, LUb, permb, dinvb, Sb, z: CX, w: CX,
                     kind: str, params, ortho: str, iters: int, tol: float,
-                    solve_f32: bool = False, pencil: str = "lu"):
+                    solve_f32: bool = False, pencil: str = "lu",
+                    node_scan: bool = False):
     """The whole refinement loop as ONE compiled while_loop — no host
     synchronization until the final result.  This is the real-hardware
     production path (the python-loop driver syncs m0-sized data per
     iteration, which costs ~latency x iterations on remote links and
-    serializes multi-slice pipelines)."""
+    serializes multi-slice pipelines).
+
+    node_scan mirrors `_drive`'s large-n mode: per-node factors were built
+    by `_factor_scan` (natural layouts, diagonal-block inverses) and the
+    update runs `_node_update_scan` — required at n >= 4096 x 16 nodes
+    where the vmapped batch OOMs (see `_node_scan_auto`)."""
     solve_dtype = jnp.float32 if solve_f32 else None
     Sb_ref = Sb if (solve_f32 and Sb.re.ndim == 3) else None
 
@@ -783,7 +789,13 @@ def _feast_compiled(Q: CX, A: CX, B, LUb, permb, Sb, z: CX, w: CX,
         Qo = qrmod.orthonormalize(Q, method=ortho)
         lam, X, R, res = _rayleigh_ritz(Qo, A, B, pencil)
         inside = _in_mask(lam, kind, params)
-        Qn = _node_update(LUb, permb, z, w, X, R, lam, solve_dtype, Sb_ref)
+        if node_scan:
+            Qn = _node_update_scan(LUb, permb, z, w, X, R, lam,
+                                   solve_dtype, A, B, store=True,
+                                   dinvb=dinvb)
+        else:
+            Qn = _node_update(LUb, permb, z, w, X, R, lam, solve_dtype,
+                              Sb_ref)
         return Qn, lam, X, res, inside
 
     def cond(state):
@@ -810,31 +822,44 @@ def feast_compiled(A, X0, contour: Optional[ct.Contour] = None, *,
                    iters: int = 10, tol: float = 1e-12,
                    ortho: str = "cholqr2", B=None, mesh=None,
                    mixed_prec: bool = False, pencil: str = "lu",
-                   hermitian: bool = False) -> FeastResult:
+                   hermitian: bool = False,
+                   node_scan: Optional[bool] = None) -> FeastResult:
     """feast/gen_feast with the entire refinement loop in one jit.
 
     Semantics match `feast`/`gen_feast` with store=True; convergence is
     decided on device (masked), so nothing touches the host until the
     result is read.  pencil/hermitian select the Rayleigh-Ritz reduction
-    exactly as in `feast`/`gen_feast`."""
+    exactly as in `feast`/`gen_feast`; node_scan (auto at large n, like
+    `feast`) factors/solves one node at a time so the headline n >= 4096
+    configs fit a 16GB chip."""
     if hermitian:
         pencil = "hermitian"
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     A, B, Q, contour, z, w = _prepare(A, B, X0, contour, c, r, nodes, dtype)
-    Sb = _shifted_batch(A, B, z)
+    if node_scan is None:
+        node_scan = mesh is None and _node_scan_auto(A.shape[0], z.shape[0])
     if mesh is not None:
-        from ..parallel import mesh as pmesh
-        Sb = pmesh.shard_nodes(Sb, mesh)
-        z = pmesh.shard_nodes(z, mesh)
-        w = pmesh.shard_nodes(w, mesh)
-        A = pmesh.replicate(A, mesh)
-        Q = pmesh.replicate(Q, mesh)
-        if B is not None:
-            B = pmesh.replicate(B, mesh)
-    LUb, permb = jax.jit(lumod.lu_factor_batched)(
-        Sb.astype(jnp.float32) if mixed_prec else Sb)
-    Sb_pass = Sb if mixed_prec else CX(jnp.zeros((0,)), jnp.zeros((0,)))
+        node_scan = False
+    dinvb = None
+    if node_scan:
+        Sb_pass = CX(jnp.zeros((0,)), jnp.zeros((0,)))
+        LUb, permb, dinvb = _factor_scan(A, B, z, solve_f32=bool(mixed_prec))
+    else:
+        Sb = _shifted_batch(A, B, z)
+        if mesh is not None:
+            from ..parallel import mesh as pmesh
+            Sb = pmesh.shard_nodes(Sb, mesh)
+            z = pmesh.shard_nodes(z, mesh)
+            w = pmesh.shard_nodes(w, mesh)
+            A = pmesh.replicate(A, mesh)
+            Q = pmesh.replicate(Q, mesh)
+            if B is not None:
+                B = pmesh.replicate(B, mesh)
+        LUb, permb = jax.jit(lumod.lu_factor_batched)(
+            Sb.astype(jnp.float32) if mixed_prec else Sb)
+        Sb_pass = Sb if mixed_prec else CX(jnp.zeros((0,)), jnp.zeros((0,)))
     lam, X, res, inside, it, done = _feast_compiled(
-        Q, A, B, LUb, permb, Sb_pass, z, w, contour.kind, contour.params,
-        ortho, int(iters), float(tol), bool(mixed_prec), pencil)
+        Q, A, B, LUb, permb, dinvb, Sb_pass, z, w, contour.kind,
+        contour.params, ortho, int(iters), float(tol), bool(mixed_prec),
+        pencil, bool(node_scan))
     return FeastResult(lam, X, res, inside, int(it), bool(done))

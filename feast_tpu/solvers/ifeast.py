@@ -46,7 +46,7 @@ def _to_op(A, dtype):
 def _apply(M, X: CX) -> CX:
     if M is None:
         return X
-    if isinstance(M, (spmod.CSR, spmod.DIA)):
+    if isinstance(M, (spmod.CSR, spmod.DIA, spmod.BELL)):
         return M.matvec(X)
     return cx.cmatmul(M, X)
 
@@ -76,6 +76,23 @@ def _raw_matrix(A):
         return sp.coo_matrix(
             (data, (np.asarray(A.row_ids), np.asarray(A.indices))),
             shape=A.shape).tocsr()
+    if isinstance(A, spmod.BELL):
+        import scipy.sparse as sp
+
+        bs, kmax = A.bs, A.kmax
+        nbr = A.colb.shape[0]
+        D = (np.asarray(A.data.re) + 1j * np.asarray(A.data.im)).reshape(
+            nbr, kmax, bs, bs)
+        colb = np.asarray(A.colb)
+        ri, ci = np.meshgrid(np.arange(bs), np.arange(bs), indexing="ij")
+        rows = (np.arange(nbr)[:, None, None, None] * bs + ri)
+        cols = (colb[:, :, None, None] * bs + ci)
+        rows = np.broadcast_to(rows, D.shape).ravel()
+        M = sp.coo_matrix((D.ravel(), (rows, cols.ravel())),
+                          shape=(nbr * bs, -(-A.shape[1] // bs) * bs)).tocsr()
+        M = M[:A.shape[0], :A.shape[1]]
+        M.eliminate_zeros()
+        return M.tocsr()
     if isinstance(A, CX):
         return cx.to_numpy(A)
     return A
@@ -150,6 +167,8 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
                     node_chunk: Optional[int] = None,
                     rr: str = "device",
                     keep_q: bool = False,
+                    reorder="auto",
+                    nit0: int = 0,
                     debug: bool = False) -> FeastResult:
     """RII FEAST with matrix-free iterative node solves (sparse-ready).
 
@@ -190,7 +209,37 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
     pattern).  Single-device only (ignored under `mesh`, which already
     splits nodes across devices)."""
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    A_raw, B_raw = A, B  # keep originals for host-side AMG setup
+    # Bandwidth-reduction reordering (ops/reorder.py): eigenproblems are
+    # permutation-invariant, so an unstructured (or adversarially permuted)
+    # sparse pencil is RCM-permuted onto the structured fast SpMM paths
+    # (DIA/BELL) and the eigenvectors permuted back on exit.  "auto" applies
+    # it only when RCM actually shrinks the pattern bandwidth; "rcm" forces
+    # it; None/False disables.  The UMFPACK analog: SuiteSparse reorders
+    # internally (reference test/generalized_feast.jl:7-24).
+    perm = None
+    if reorder:
+        import scipy.sparse as sp
+
+        if sp.issparse(A):
+            from ..ops import reorder as rdmod
+
+            B_pat = B if (B is not None and sp.issparse(B)) else None
+            if reorder == "rcm":
+                perm = rdmod.rcm_permutation(A, B_pat)
+            else:
+                perm, _ = rdmod.plan_reorder(A, B_pat)
+            if perm is not None:
+                A = sp.csr_matrix(A)[perm][:, perm].tocsr()
+                if B is not None:
+                    B = (sp.csr_matrix(B)[perm][:, perm].tocsr()
+                         if sp.issparse(B)
+                         else np.asarray(B)[perm][:, perm])
+                if isinstance(X0, CX):
+                    X0 = CX(X0.re[jnp.asarray(perm)],
+                            X0.im[jnp.asarray(perm)])
+                else:
+                    X0 = np.asarray(X0)[perm]
+    A_raw, B_raw = A, B  # keep (permuted) originals for host-side AMG setup
     A = _to_op(A, dtype)
     B = _to_op(B, dtype)
     if precondition is True:
@@ -349,7 +398,12 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
     n_iter, converged = 0, False
     Q = X
 
+    # nit0: refinement-sweep offset for checkpointed single-sweep stepping
+    # (orchestrate.feast_iterative_checkpointed runs iters=0 per process;
+    # the offset keeps the spurious two-tier stop's nit >= 2 gate and the
+    # debug iteration numbers continuous across processes).
     def _stops(nit, res_h, inside_h):
+        nit = nit + nit0
         if inside_h.any() and res_h[inside_h].max() < tol:
             return True
         # two-tier stop (reference nlfeast.jl:73-79 semantics): once the
@@ -375,7 +429,7 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
                 Xout, lam, R, res, inside = rr_step(Q, A, B)
             res_h, inside_h = np.asarray(res), np.asarray(inside)
             if debug:
-                _debug_print(nit, lam, res_h, inside_h)
+                _debug_print(nit + nit0, lam, res_h, inside_h)
             if _stops(nit, res_h, inside_h):
                 converged = True
                 break
@@ -390,12 +444,17 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
             Qn, Xout, lam, res, inside, warm = step(Q, warm, A, B, amg_hier)
             res_h, inside_h = np.asarray(res), np.asarray(inside)
             if debug:
-                _debug_print(nit, lam, res_h, inside_h)
+                _debug_print(nit + nit0, lam, res_h, inside_h)
             if _stops(nit, res_h, inside_h):
                 converged = True
                 break
         Q = Qn
     if not np.asarray(inside).any():
         print("no eigenvalues found in contour!")
+    if perm is not None:  # undo the RCM row permutation on the vectors
+        iperm = jnp.asarray(np.argsort(perm))
+        Xout = CX(Xout.re[iperm], Xout.im[iperm])
+        if keep_q:
+            Q = CX(Q.re[iperm], Q.im[iperm])
     return FeastResult(lam, Xout, res, inside, n_iter, converged,
                        Q if keep_q else None)

@@ -59,6 +59,7 @@ def test_banded_levels_use_dia():
     np.testing.assert_allclose(got, want, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_vcycle_contracts():
     """One V-cycle must reduce the residual by a large factor on a
     moderately shifted Laplacian (smoke test of the cycle itself)."""
@@ -128,6 +129,7 @@ def test_amg_f32_vcycle_converges_hard_shift_to_f64():
     assert rel < 1e-9, rel
 
 
+@pytest.mark.slow
 def test_feast_iterative_amg_lowest_slice_100k():
     """The VERDICT r1 'done' criterion: feast_iterative converges the
     LOWEST slice of a 100k-dof Laplacian (kappa(A - zB) ~ 4e9) to 1e-10
@@ -150,6 +152,7 @@ def test_feast_iterative_amg_lowest_slice_100k():
     assert res.max() < 1e-10
 
 
+@pytest.mark.slow
 def test_feast_iterative_amg_sparse_generalized():
     """Sparse generalized pencil (sparse B != I): 1-D FEM stiffness/mass,
     lowest slice — covers the reference's sparse-B usage

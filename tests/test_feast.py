@@ -47,6 +47,7 @@ def test_gen_feast_identity_B(diag25):
     assert r.max() < 1e-12
 
 
+@pytest.mark.slow
 def test_dual_gen_feast(diag25):
     A, X0 = diag25
     res = dual_gen_feast(A, np.eye(25, dtype=np.complex128), X0, X0.copy(),
@@ -176,6 +177,7 @@ def test_node_on_eigenvalue_no_nan(diag25):
     assert np.isfinite(lam).all()
 
 
+@pytest.mark.slow
 def test_grcar_two_sided():
     """Two-sided FEAST on the grcar-like banded non-Hermitian matrix
     (reference test/non_hermitian.jl:6-33): left+right eigenpairs."""
@@ -201,6 +203,7 @@ def test_grcar_two_sided():
     np.testing.assert_allclose(np.sort_complex(lam), ref_in, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_stochastic_count_1000_laplacian():
     """contour_estimate_eig on the 1000-dof Laplacian
     (reference test/contour_test.jl:7-32)."""
@@ -216,6 +219,7 @@ def test_stochastic_count_1000_laplacian():
     assert abs(est - true) <= max(3, 0.3 * true)
 
 
+@pytest.mark.slow
 def test_dual_gen_feast_option_matrix(diag25):
     """dual_gen_feast option parity (ref feast.jl:190-195 threads store
     through both factorization sets): store=False, mixed_prec, rr="host"
@@ -282,6 +286,7 @@ def test_dimension_validation():
               np.ones((4, 2), dtype=np.complex128), c=0.5, r=1.0)
 
 
+@pytest.mark.slow
 def test_node_scan_matches_vmap(diag25):
     # scan-over-nodes path (the large-n memory path: one node at a time,
     # S_i rebuilt on the fly) must agree with the batched vmap path across
@@ -315,3 +320,26 @@ def test_node_scan_generalized():
     assert r1.converged and r2.converged
     np.testing.assert_allclose(np.sort(r1.filtered()[0].real),
                                np.sort(r2.filtered()[0].real), atol=1e-8)
+
+
+def test_feast_compiled_node_scan_matches():
+    """feast_compiled(node_scan=True) — the single-jit large-n headline
+    path — must match the vmapped compiled driver and converge the
+    diagonal test slice (runtests.jl:18-20 semantics)."""
+    n, m0 = 60, 8
+    rng = np.random.default_rng(3)
+    A = np.diag(np.arange(1.0, n + 1.0)).astype(np.complex128)
+    A += 0.02 * (rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n)))
+    X0 = rng.standard_normal((n, m0)) + 1j * rng.standard_normal((n, m0))
+    kw = dict(c=3.0 + 0.0j, r=2.5, nodes=8, iters=10, tol=1e-12,
+              mixed_prec=True)
+    import feast_tpu as ft
+
+    out_v = ft.feast_compiled(A, X0, node_scan=False, **kw)
+    out_s = ft.feast_compiled(A, X0, node_scan=True, **kw)
+    assert out_v.converged and out_s.converged
+    lv, _, rv = out_v.filtered()
+    ls, _, rs = out_s.filtered()
+    np.testing.assert_allclose(np.sort(lv.real), np.sort(ls.real),
+                               rtol=1e-10)
+    assert rv.max() < 1e-12 and rs.max() < 1e-12

@@ -108,6 +108,7 @@ def test_as_operator_picks_dia_for_banded():
     assert isinstance(spmod.as_operator(R), spmod.CSR)
 
 
+@pytest.mark.slow
 def test_feast_iterative_accepts_dia():
     """Same slice as the CSR test above, but fed a pre-built DIA operator —
     the driver must route SpMMs through the shifted-slice path."""
@@ -154,6 +155,7 @@ def test_ifeast_reference_parity():
     np.testing.assert_allclose(np.sort(lam.real), [1, 2, 3], atol=1e-8)
 
 
+@pytest.mark.slow
 def test_feast_iterative_sparse_laplacian_slice():
     rng = np.random.default_rng(0)
     n = 400
@@ -212,6 +214,7 @@ def test_bicgstab_l():
     assert int(out.iters) <= 10  # warm start pays off
 
 
+@pytest.mark.slow
 def test_feast_iterative_bicgstabl_solver():
     rng = np.random.default_rng(0)
     n = 300
@@ -227,6 +230,7 @@ def test_feast_iterative_bicgstabl_solver():
     assert r.max() < 1e-9
 
 
+@pytest.mark.slow
 def test_feast_iterative_node_chunk_matches_full_vmap():
     # node_chunk bounds the Krylov-workspace peak (one chunk of nodes per
     # compiled call instead of the all-nodes vmap); results must agree.
@@ -316,6 +320,7 @@ def test_feast_iterative_host_rr():
                            rr="host", mesh=node_mesh(1))
 
 
+@pytest.mark.slow
 def test_feast_iterative_keep_q_stepping():
     # keep_q=True + iters=0 gives exact single-sweep stepping: restarting
     # each sweep from the returned moment subspace Q converges like the

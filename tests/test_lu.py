@@ -80,6 +80,7 @@ def test_fori_loop_variant_matches_unrolled():
         assert r < 1e-10 * np.abs(A).max(), (n, r)
 
 
+@pytest.mark.slow
 def test_lu_diag_inv_solve_matches():
     # dinv fast path (diagonal-block inverses -> GEMM substitutions) must
     # match the plain substitution solve, including a non-block-multiple n

@@ -86,6 +86,7 @@ def _exact_inside(coeffs, c, r):
     return np.sort_complex(lam_e[(np.abs(lam_e - c) <= r) & (res_e < 1e-10)])
 
 
+@pytest.mark.slow
 def test_quadratic_nlfeast_vs_companion(generic_quadratic):
     coeffs = generic_quadratic
     c, r = 0.0 + 0.0j, 0.6
@@ -103,6 +104,7 @@ def test_quadratic_nlfeast_vs_companion(generic_quadratic):
     assert rres.max() < 1e-11
 
 
+@pytest.mark.slow
 def test_quadratic_moments(quadratic_fixture):
     coeffs = quadratic_fixture
     exact = ft.companion(coeffs)
@@ -140,6 +142,7 @@ def test_quadratic_beyn(generic_quadratic):
     np.testing.assert_allclose(got, want, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_quadratic_block_ss(quadratic_fixture):
     coeffs = quadratic_fixture
     exact = ft.companion(coeffs)
@@ -163,6 +166,7 @@ def test_quadratic_block_ss(quadratic_fixture):
 # delay/exponential NEP (SPMF with non-polynomial f): two methods agree
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_exponential_dep_cross_method():
     import jax.numpy as jnp
     rng = np.random.default_rng(3)
@@ -195,6 +199,7 @@ def test_exponential_dep_cross_method():
 # callable NEP (host parity mode)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_callable_nep_host_mode():
     A = np.diag(np.arange(1.0, 26.0)).astype(np.complex128)
 
@@ -233,6 +238,7 @@ def test_contour_estimate_eig_generalized_and_mixed():
     assert abs(est32 - est) < 0.5
 
 
+@pytest.mark.slow
 def test_nlfeast_it_butterfly():
     from feast_tpu import problems
 
@@ -246,6 +252,7 @@ def test_nlfeast_it_butterfly():
     assert res.max() < 1e-10
 
 
+@pytest.mark.slow
 def test_beyn_extraction_variants():
     # qr / rr / rr2 extraction agree with the svd step on a clean problem
     import jax.numpy as jnp
@@ -284,6 +291,7 @@ def test_beyn_extraction_variants():
                                    atol=1e-4)
 
 
+@pytest.mark.slow
 def test_callable_nep_off_origin_contour():
     # host mode at c=101.5 (would collapse with raw z moments)
     A = np.diag(np.arange(100.0, 125.0)).astype(np.complex128)
@@ -300,6 +308,7 @@ def test_callable_nep_off_origin_contour():
     assert r.max() < 1e-11
 
 
+@pytest.mark.slow
 def test_nlfeast_rectangular_contour(generic_quadratic):
     """nlfeast accepts arbitrary Contour objects — the reference hardcodes
     the trapezoid circle (nlfeast.jl:8); SURVEY.md flags unification."""
@@ -363,6 +372,7 @@ def test_companion_singular_leading_coefficient():
     assert res[finite_mask].max() < 1e-7
 
 
+@pytest.mark.slow
 def test_nlfeast_store_false_matches_store_true():
     """store=False (reference nlfeast.jl:17-28 semantics): chunked
     re-factorization every iteration must reproduce the stored path —

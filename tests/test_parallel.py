@@ -57,6 +57,7 @@ def test_shard_nodes_places_on_devices():
     assert len(xs.re.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_feast_sliced_laplacian():
     from feast_tpu import problems
     from feast_tpu.parallel import feast_sliced
@@ -89,6 +90,7 @@ def test_row_sharded_tsqr():
     assert np.abs(Qn @ Rn - a).max() < 1e-13
 
 
+@pytest.mark.slow
 def test_feast_sliced_parallel_matches_sequential():
     """Slice-axis parallel execution (VERDICT r1 #5): 4 slices stacked and
     sharded over a 4-device `slice` mesh in ONE jit; results must match the
@@ -129,6 +131,7 @@ def test_feast_sliced_parallel_matches_sequential():
     assert f"f64[1,8,{n},{n}]" in txt, "slice batch not partitioned"
 
 
+@pytest.mark.slow
 def test_feast_sliced_parallel_generalized():
     """Slice-parallel driver with a generalized pencil (B != None)."""
     from jax.sharding import Mesh

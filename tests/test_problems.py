@@ -25,6 +25,7 @@ def test_butterfly_generator_matches_bundled_fixture():
         np.testing.assert_allclose(a, b, atol=1e-13)
 
 
+@pytest.mark.slow
 def test_butterfly_nlfeast_vs_companion():
     # BASELINE row: butterfly quartic, c=1+1i r=0.5, spurious 5e-3
     T, coeffs = problems.butterfly()
@@ -72,6 +73,7 @@ def test_loaded_string_moments_k3():
     assert res.max() < 1e-13
 
 
+@pytest.mark.slow
 def test_hadeler_nlfeast():
     # BASELINE row: hadeler, c=-30 r=10 (test/hadeler.jl:55-60)
     T = problems.hadeler(200, 100.0)
@@ -121,6 +123,7 @@ def test_slice_checkpoint_roundtrip(tmp_path):
 
 @pytest.mark.skipif(not os.path.isdir(REF_DATA),
                     reason="reference data not mounted")
+@pytest.mark.slow
 def test_system5_moments_k2():
     # BASELINE row: system5 quadratic N=1000, m0=80, 32 nodes, K=2,
     # c=-1.55 r=0.05 (test/polynomial.jl:20) — 50 eigenvalues inside.
@@ -134,6 +137,7 @@ def test_system5_moments_k2():
     assert out.n_iter <= 2
 
 
+@pytest.mark.slow
 def test_gun_like_sqrt_branch_cross_method():
     """sqrt-branch NEP (the gun problem's structure): nlfeast and
     nlfeast_moments agree to 1e-7 on the contour spectrum."""
@@ -176,6 +180,7 @@ def test_gen_feast_qz_pencil_option():
                                np.sort(cx.to_numpy(lam_qz).real), atol=1e-10)
 
 
+@pytest.mark.slow
 def test_fiber_like_moments_k10():
     """The fiber problem's K=10 stress test of the block-Hankel machinery
     (reference runs NLEVP fiber with moments=10, test/fiber.jl:26-36; the
@@ -202,6 +207,7 @@ def test_fiber_like_moments_k10():
                                np.sort_complex(lam_b[good]), atol=1e-8)
 
 
+@pytest.mark.slow
 def test_nlfeast_mixed_precision_matches_full():
     """nlfeast(mixed_prec=True): f32 node LU + SPMF-form iterative
     refinement must reproduce the f64 path to residual floor (the

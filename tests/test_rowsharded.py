@@ -48,6 +48,7 @@ def test_partition_csr_roundtrip():
     np.testing.assert_allclose(dense[:37], A.toarray(), atol=0)
 
 
+@pytest.mark.slow
 def test_rowsharded_matches_single_device():
     n, m0, bands = 300, 10, 14
     A = banded(n, bands=bands)
@@ -83,6 +84,7 @@ def test_rowsharded_matches_single_device():
     assert worst < A.nnz, (worst, A.nnz)
 
 
+@pytest.mark.slow
 def test_rowsharded_generalized():
     n = 200
     A = banded(n)
@@ -111,6 +113,7 @@ def test_rowsharded_generalized():
                                atol=1e-7)
 
 
+@pytest.mark.slow
 def test_rowsharded_amg_lowest_slice():
     """Row-sharded AMG V-cycle: lowest slice of a 2-D 9-point Laplacian —
     the regime where Jacobi stalls — converges with every hierarchy level's
