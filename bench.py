@@ -1,6 +1,6 @@
 """Benchmark: dense FEAST slice wall-time vs the LAPACK-CPU reference path,
 plus the BASELINE north-star metrics (sparse shifted-solve nnz/s per chip,
-gun-structure NLEP wall time).
+gun-structure NLEP wall time) and per-phase FLOP/MFU accounting.
 
 Primary metric: wall-time to 1e-10 residual on a dense non-Hermitian
 4096x4096 slice, 16 trapezoid nodes, m0=48.  The baseline is the SAME
@@ -9,20 +9,21 @@ i.e. what the Julia reference does (its compute is 100% LAPACK FFI:
 SURVEY.md section 2.2), so `vs_baseline` measures TPU-native vs
 reference-equivalent on this machine.
 
-TPU path (scan-over-nodes, see feast.node_scan): per-node f32 pair LU on
-the MXU + diagonal-block-inverse GEMM solves (lu.lu_diag_inv) + batched
-wide-GEMM f64 iterative refinement (full accuracy; f64 LU is 16x-slower
-emulation on TPU) + host LAPACK for the m0 x m0 reduced eig (remote-
-dispatch latency).  Measured r2 on the real chip: 9.3s vs 66.7s LAPACK
-(7.2x) at identical 7.3e-12 residuals.  A persistent XLA compilation
-cache (.jax_cache/) makes repeat runs compile-free through the remote
-tunnel.
+TPU path (r3): `feast_compiled` — the ENTIRE refinement loop in one jit
+(zero host round-trips; the r2 python-loop driver paid ~latency x
+dispatches over the remote tunnel and its headline halved between runs),
+scan-over-nodes at this size (feast._node_scan_auto), f32 pair LU on the
+MXU + lu_diag_inv GEMM solves + batched wide-GEMM f64 iterative
+refinement.  Timing: one warmup call (compile; persistent-cached), then
+BEST OF 3 timed runs, all three walls recorded, cache hit/miss logged
+(VERDICT r2 prescription #2).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": wall_s, "unit": "s", "vs_baseline": base_s/wall_s,
-   "detail": {..., "sparse_solve_nnz_per_s": ..., "gun_like_4096": ...}}
+  {"metric": ..., "value": wall_s, "unit": "s", "vs_baseline": base/wall,
+   "detail": {...}}
 """
 
+import glob
 import json
 import os
 import sys
@@ -30,13 +31,14 @@ import time
 
 import numpy as np
 
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
 
 def _setup_jax():
     import jax
 
     jax.config.update("jax_enable_x64", True)
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
+    cache_dir = os.path.join(_HERE, ".jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
@@ -44,6 +46,10 @@ def _setup_jax():
     except Exception:
         pass
     return jax
+
+
+def _cache_entries():
+    return len(glob.glob(os.path.join(_HERE, ".jax_cache", "*")))
 
 
 def _problem(n=4096, m0=48, seed=0):
@@ -64,6 +70,7 @@ def numpy_feast(A, X0, c, r, nodes=16, tol=1e-10, iters=20):
     import scipy.linalg as sla
     t0 = time.perf_counter()
     facts = [sla.lu_factor(A - zi * np.eye(n)) for zi in z]
+    t_factor = time.perf_counter() - t0
     Q = X0.copy()
     for nit in range(iters + 1):
         Q, _ = np.linalg.qr(Q)
@@ -81,37 +88,116 @@ def numpy_feast(A, X0, c, r, nodes=16, tol=1e-10, iters=20):
             temp = sla.lu_solve(facts[i], R)
             Qn += (X - temp) * (w[i] / (z[i] - lam))[None, :]
         Q = Qn
-    return time.perf_counter() - t0, float(res[inside].max()), nit
+    return (time.perf_counter() - t0, float(res[inside].max()), nit,
+            t_factor)
 
 
-def tpu_feast(A, X0, c, r, nodes=16, tol=1e-10, iters=20):
-    import jax
-
+def tpu_feast_compiled(A, X0, c, r, nodes=16, tol=1e-10, iters=20, reps=3):
+    """Primary timed path: feast_compiled, warmup + best-of-N."""
     import feast_tpu as ft
 
     def run():
         t0 = time.perf_counter()
-        out = ft.feast(A, X0, c=c, r=r, nodes=nodes, iters=iters, tol=tol,
-                       mixed_prec=True, rr="host")
-        # force a host transfer (block_until_ready is unreliable over the
-        # remote tunnel)
-        _ = np.asarray(out.res)
+        out = ft.feast_compiled(A, X0, c=c, r=r, nodes=nodes, iters=iters,
+                                tol=tol, mixed_prec=True)
+        _ = np.asarray(out.res)  # host transfer: the only reliable barrier
         return time.perf_counter() - t0, out
 
-    run()  # warmup: compile everything (persistent-cached for next runs)
-    wall, out = run()
+    entries0 = _cache_entries()
+    warm_wall, out = run()  # compile (persistent-cached across bench runs)
+    compiled_fresh = _cache_entries() > entries0
+    walls = []
+    for _ in range(reps):
+        wall, out = run()
+        walls.append(round(wall, 4))
     res = np.asarray(out.res)
     inside = np.asarray(out.inside)
-    return wall, float(res[inside].max()), out.n_iter
+    return {
+        "walls_s": walls, "best_s": min(walls),
+        "spread_pct": round(100 * (max(walls) - min(walls)) / min(walls), 1),
+        "warmup_s": round(warm_wall, 2),
+        "compile_cache": "miss (new entries written)" if compiled_fresh
+                         else "hit (no new cache entries)",
+        "max_res_inside": float(res[inside].max()),
+        "iters": int(out.n_iter),
+    }
+
+
+def phase_profile(A, X0, c, r, nodes=16):
+    """Per-phase walls + achieved FLOP/s for the headline config.
+
+    FLOP model (3-real-multiply complex arithmetic = 16/3 n^3 per complex
+    LU, 16 n^2 m0 per triangular solve pass over m0 RHS, 16 n^2 k m0 per
+    wide refinement GEMM; f64 emulated ops counted once — the hardware
+    cost multiplier is reported separately, not folded in)."""
+    import jax
+    import jax.numpy as jnp
+
+    import importlib
+
+    # feast_tpu.solvers.__init__ rebinds the name `feast` to the driver
+    # function, so the module must come from importlib
+    fmod = importlib.import_module("feast_tpu.solvers.feast")
+    from feast_tpu import contour as ct
+    from feast_tpu import cx
+
+    n, m0 = X0.shape
+    dtype = jnp.float64
+    Ax = cx.from_numpy(A, dtype)
+    Qx = cx.from_numpy(X0, dtype)
+    k = ct.circular_contour_trapezoidal(complex(c), float(r), nodes)
+    z = k.device_nodes(dtype)
+    w = k.device_weights(dtype)
+
+    def sync(t):
+        jax.tree_util.tree_map(
+            lambda x: np.asarray(x.re if hasattr(x, "re") else x)
+            if hasattr(x, "re") else np.asarray(x), t)
+
+    def timed(fn, *args, **kw):
+        out = fn(*args, **kw)  # warmup/compile
+        _ = np.asarray(jax.tree_util.tree_leaves(out)[0])
+        best = np.inf
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = fn(*args, **kw)
+            _ = np.asarray(jax.tree_util.tree_leaves(out)[0])
+            best = min(best, time.perf_counter() - t0)
+        return best, out
+
+    prof = {}
+    # factor phase: nodes x f32 LU + diagonal-block inverses
+    t_f, (LUb, permb, dinvb) = timed(fmod._factor_scan, Ax, None, z,
+                                     solve_f32=True)
+    flops_factor = nodes * (16 / 3) * n ** 3
+    prof["factor"] = {"wall_s": round(t_f, 3),
+                      "model_f32_gflop": round(flops_factor / 1e9, 1),
+                      "achieved_tflops": round(flops_factor / t_f / 1e12, 2)}
+    # one refinement step (RR + node update with 2 IR sweeps)
+    Sb_empty = cx.CX(jnp.zeros((0,)), jnp.zeros((0,)))
+    t_s, _ = timed(fmod._feast_step, Qx, Ax, None, LUb, permb, dinvb,
+                   Sb_empty, z, w, k.kind, k.params, "cholqr2", True, True,
+                   "lu", True)
+    refine = 2
+    solves = (1 + refine) * 2 * 16 * n * n * m0 * nodes   # f32 tri solves
+    ir_gemms = refine * 2 * 16 * n * n * nodes * m0       # f64 wide GEMMs
+    rr_gemms = 3 * 16 * n * n * m0                        # f64 A@Q etc
+    prof["step"] = {
+        "wall_s": round(t_s, 3),
+        "model_gflop_f32_solves": round(solves / 1e9, 1),
+        "model_gflop_f64_gemms": round((ir_gemms + rr_gemms) / 1e9, 1),
+        "achieved_tflops_mixed": round(
+            (solves + ir_gemms + rr_gemms) / t_s / 1e12, 2),
+    }
+    return prof
 
 
 def sparse_nnz_per_s(n=1_000_000, m0=16, reps=3):
     """North-star: sustained nnz/s per chip in the shifted-solve phase.
 
     Measures the SpMM-dominated inner loop the sparse path actually runs:
-    AMG-preconditioned BiCGStab on (A - zI) for a 1M-dof Laplacian, m0
-    RHS.  nnz processed = nnz * m0 * (2 matvecs + V-cycle SpMM work) per
-    iteration."""
+    AMG-preconditioned BiCGStab on (A - zI) for an n-dof Laplacian, m0
+    RHS."""
     import jax
     import jax.numpy as jnp
     import scipy.sparse as sp
@@ -128,8 +214,6 @@ def sparse_nnz_per_s(n=1_000_000, m0=16, reps=3):
     zc = complex(3.5 * lam1 + 3.0 * lam1 * np.exp(1j * np.pi / 8))
     z = cx.CX(jnp.asarray(zc.real), jnp.asarray(zc.imag))
     h = amgmod.build_amg(A)
-    # hierarchy SpMM work per V-cycle application (nu=2 pre + post + 2
-    # residuals + P + R per level), counted in nonzeros touched
     lvl_nnz, p_nnz = amgmod.hierarchy_nnz(h)
     vcycle_nnz = sum(6 * a + 2 * p for a, p in zip(lvl_nnz, p_nnz))
     Ac = spmod.as_operator(A)  # tridiagonal -> DIA (shifted-slice SpMM)
@@ -137,12 +221,9 @@ def sparse_nnz_per_s(n=1_000_000, m0=16, reps=3):
     b = cx.from_numpy(rng.standard_normal((n, m0))
                       + 1j * rng.standard_normal((n, m0)), jnp.float64)
 
-    out = {"n": n, "nnz": nnz, "m0": m0}
+    out = {"n": n, "nnz": nnz, "m0": m0, "live": True}
     best_rate = 0.0
     for tag, mdt in (("vcycle_f64", None), ("vcycle_f32", jnp.float32)):
-        # f32 V-cycle: native f32 vs emulated f64 on TPU — half the
-        # bandwidth in the dominant phase; outer f64 Krylov still reaches
-        # 1e-10 (preconditioner precision only shapes iteration count)
         @jax.jit
         def solve(hh, bb):
             mv = spmod.shifted_matvec(Ac, None, z)
@@ -158,7 +239,6 @@ def sparse_nnz_per_s(n=1_000_000, m0=16, reps=3):
             sol = solve(h, b)
             _ = np.asarray(sol.resnorm)
             t_best = min(t_best, time.perf_counter() - t0)
-        # per bicgstab iteration: 2 fine matvecs + 2 preconditioner V-cycles
         nnz_processed = iters * m0 * (2 * nnz + 2 * vcycle_nnz)
         rate = float(nnz_processed / t_best)
         out[tag] = {"solve_s": round(t_best, 3), "krylov_iters": iters,
@@ -169,10 +249,15 @@ def sparse_nnz_per_s(n=1_000_000, m0=16, reps=3):
     return out
 
 
+def sparse_nnz_per_s_100k():
+    """Smaller LIVE probe of the same metric (the 1M-dof run is what
+    crashes the axon worker; this one is driver-robust — VERDICT r2 #4)."""
+    return sparse_nnz_per_s(n=100_000, m0=16, reps=3)
+
+
 def gun_small(n=4096):
     """gun-structure NLEP wall time (full N=9956 run: benchmarks/gun.py)."""
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                    "benchmarks"))
+    sys.path.insert(0, os.path.join(_HERE, "benchmarks"))
     import importlib
 
     gun = importlib.import_module("gun")
@@ -183,10 +268,7 @@ def gun_small(n=4096):
 def _aux_metric(fn_name, timeout_s=2400, attempts=3):
     """Run an aux metric in a SUBPROCESS: a remote-TPU worker crash inside
     one metric must not poison the backend for the rest of the bench (a
-    dead axon backend fails every subsequent dispatch in-process).  The
-    axon worker is flaky under sustained 1M-dof dispatch ("TPU worker
-    process crashed", see CLAUDE.md) — retry a couple of times; a fresh
-    process with the primed compile cache restarts cheaply."""
+    dead axon backend fails every subsequent dispatch in-process)."""
     import subprocess
 
     code = ("import bench, json; bench._setup_jax(); "
@@ -198,8 +280,7 @@ def _aux_metric(fn_name, timeout_s=2400, attempts=3):
         try:
             p = subprocess.run([sys.executable, "-c", code],
                                capture_output=True, text=True,
-                               timeout=timeout_s,
-                               cwd=os.path.dirname(os.path.abspath(__file__)))
+                               timeout=timeout_s, cwd=_HERE)
             for line in p.stdout.splitlines():
                 if line.startswith("AUXJSON "):
                     return json.loads(line[len("AUXJSON "):])
@@ -210,40 +291,52 @@ def _aux_metric(fn_name, timeout_s=2400, attempts=3):
     return last
 
 
+def _recorded(name):
+    p = os.path.join(_HERE, "benchmarks", "results", name)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return None
+
+
 def main():
     _setup_jax()
+    try:
+        load0 = os.getloadavg()[0]
+    except OSError:
+        load0 = None
     A, X0, c, r = _problem()
-    wall_s, res, it = tpu_feast(A, X0, c, r)
-    base_s, base_res, base_it = numpy_feast(A, X0, c, r)
+    tpu = tpu_feast_compiled(A, X0, c, r)
+    base_s, base_res, base_it, base_factor_s = numpy_feast(A, X0, c, r)
+    wall_s = tpu["best_s"]
     detail = {
-        "tpu": {"wall_s": round(wall_s, 4), "max_res_inside": res,
-                "iters": it},
+        "tpu_compiled": tpu,
         "lapack_cpu": {"wall_s": round(base_s, 4),
-                       "max_res_inside": base_res, "iters": base_it},
+                       "factor_s": round(base_factor_s, 2),
+                       "max_res_inside": base_res, "iters": base_it,
+                       "loadavg_at_start": load0},
+        "phases": _aux_metric("_phase_aux", timeout_s=1200),
     }
-    detail["sparse_solve_nnz_per_s"] = _aux_metric("sparse_nnz_per_s")
-    if "error" in detail["sparse_solve_nnz_per_s"]:
-        # flaky axon worker under 1M-dof load — fall back to the recorded
-        # real-chip measurement (clearly marked) rather than dropping the
-        # north-star metric
-        recp = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "benchmarks", "results",
-                            "sparse_nnz_recorded.json")
-        if os.path.exists(recp):
-            with open(recp) as f:
-                rec = json.load(f)
-            rec["live_error"] = detail["sparse_solve_nnz_per_s"]["error"]
-            detail["sparse_solve_nnz_per_s"] = rec
+    # live small sparse probe (robust) + recorded 1M-dof (labeled)
+    detail["sparse_solve_nnz_per_s_100k_live"] = _aux_metric(
+        "sparse_nnz_per_s_100k", timeout_s=1200)
+    live1m = _aux_metric("sparse_nnz_per_s")
+    if "error" in live1m:
+        rec = _recorded("sparse_nnz_recorded.json") or {}
+        detail["sparse_solve_nnz_per_s_1m"] = {
+            "live": False, "live_error": live1m.get("error"),
+            "recorded": rec}
+    else:
+        detail["sparse_solve_nnz_per_s_1m"] = live1m
     detail["gun_like_4096"] = _aux_metric("gun_small")
-    # BASELINE north-star: 1M-dof sparse GENERALIZED slice to 1e-10,
-    # recorded by `python benchmarks/sparse1m.py --orchestrate` (a ~40 min
-    # real-chip run — too long to recompute per bench invocation; the
-    # JSON carries its own config + residuals for verification)
-    sp1m = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "benchmarks", "results", "sparse1m.json")
-    if os.path.exists(sp1m):
-        with open(sp1m) as f:
-            detail["sparse1m_feast_recorded"] = json.load(f)
+    for key, name in (("sparse1m_feast_recorded", "sparse1m.json"),
+                      ("dense8192_recorded", "dense8192.json"),
+                      ("gun9956_recorded", "gun9956.json"),
+                      ("spmm_unstructured_recorded", "bell_tune.json"),
+                      ("scaling_recorded", "scaling.json")):
+        rec = _recorded(name)
+        if rec is not None:
+            detail[key] = rec
     print(json.dumps({
         "metric": "dense_feast_4096_wall_to_1e-10",
         "value": round(wall_s, 4),
@@ -251,6 +344,11 @@ def main():
         "vs_baseline": round(base_s / wall_s, 4),
         "detail": detail,
     }))
+
+
+def _phase_aux():
+    A, X0, c, r = _problem()
+    return phase_profile(A, X0, c, r)
 
 
 if __name__ == "__main__":

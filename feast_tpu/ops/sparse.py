@@ -364,11 +364,13 @@ class BELL:
         batched block GEMM (contraction over k and the block column — no
         scatter).
 
-        The gather operand is the FLATTENED (ncb, bs*m) view: measured on
-        the real chip (2026-08-19 microbenchmark, 96MB gathered/iter),
-        gathering (bs*m)-element rows from a 2-D operand runs 5-7x faster
-        than the same bytes as (bs, m) slices of a 3-D operand
-        (bs=8,m=16: 252 vs 43 GB/s; bs=32,m=16: 556 vs 77 GB/s)."""
+        Layout note (measured on the real chip, 2026-08-19): an ISOLATED
+        gather of (bs*m)-element rows from a flattened 2-D operand runs
+        5-7x faster than the same bytes as (bs, m) slices of a 3-D operand
+        (bs=32,m=16: 556 vs 77 GB/s) — but END-TO-END the 3-D form wins
+        (19.3 vs 45.3 ms on the 200k FEM at bs=32) because XLA fuses the
+        3-D gather into the dot_general while the flatten+reshape breaks
+        that fusion and materializes G to HBM.  Hence the 3-D gather here."""
         n, mcols = self.shape
         bs = self.bs
         m = X.re.shape[1]
@@ -376,10 +378,8 @@ class BELL:
         pad = ncb * bs - mcols
         Xp = (CX(jnp.pad(X.re, ((0, pad), (0, 0))),
                  jnp.pad(X.im, ((0, pad), (0, 0)))) if pad else X)
-        X2 = CX(Xp.re.reshape(ncb, bs * m), Xp.im.reshape(ncb, bs * m))
-        nbr, kmax = self.colb.shape
-        G = CX(X2.re[self.colb].reshape(nbr, kmax, bs, m),
-               X2.im[self.colb].reshape(nbr, kmax, bs, m))
+        Xb = CX(Xp.re.reshape(ncb, bs, m), Xp.im.reshape(ncb, bs, m))
+        G = CX(Xb.re[self.colb], Xb.im[self.colb])  # (nbr, kmax, bs, m)
         hi = jax.lax.Precision.HIGHEST
         # 3-real-multiply complex GEMM (cx.cmatmul's Karatsuba form)
         p1 = jnp.einsum("rkab,rkbm->ram", self.data.re, G.re, precision=hi)
