@@ -25,8 +25,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 ".."))
 
 
+_FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "fixtures")
+
+
 def run(n=9956, m0=84, nodes=16, tol=1e-10, iters=10, seed=0,
-        verbose=True):
+        verbose=True, cache=True):
     import jax
 
     jax.config.update("jax_enable_x64", True)
@@ -43,8 +47,11 @@ def run(n=9956, m0=84, nodes=16, tol=1e-10, iters=10, seed=0,
 
     t0 = time.perf_counter()
     # planted mode = the real gun's phenomenology: ~25 isolated resonances
-    # in the contour, everything else far away, sqrt cuts BELOW the slice
-    T = problems.gun_like(n, seed=seed, planted=25)
+    # in the contour, everything else far away, sqrt cuts BELOW the slice.
+    # The coefficient build is fixture-cached (r2 verdict #7: the ~35-min
+    # one-shot host build made this benchmark effectively unrepeatable).
+    T = problems.gun_like(n, seed=seed, planted=25,
+                          cache_dir=_FIXTURES if cache else None)
     t_build = time.perf_counter() - t0
 
     c, r = 105.0 + 0.0j, 8.0
@@ -77,4 +84,13 @@ def run(n=9956, m0=84, nodes=16, tol=1e-10, iters=10, seed=0,
 
 
 if __name__ == "__main__":
-    run()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=9956)
+    ap.add_argument("--m0", type=int, default=84)
+    ap.add_argument("--nodes", type=int, default=16)
+    ap.add_argument("--no-cache", action="store_true",
+                    help="rebuild the coefficient arrays from scratch")
+    a = ap.parse_args()
+    run(n=a.n, m0=a.m0, nodes=a.nodes, cache=not a.no_cache)

@@ -178,7 +178,8 @@ def load_butterfly(data_dir: Optional[str] = None) -> Tuple[PolynomialNEP, list]
 
 def gun_like(n: int = 256, seed: int = 0,
              planted: Optional[int] = None,
-             cluster: Tuple[float, float] = (100.0, 110.0)) -> SPMF:
+             cluster: Tuple[float, float] = (100.0, 110.0),
+             cache_dir: Optional[str] = None) -> SPMF:
     """A gun-NLEP-shaped problem: T(z) = K - z M + i sqrt(z - s1^2) W1
     + i sqrt(z - s2^2) W2 (the RF-gun cavity NLEP's structure,
     reference test/gun.jl — its 9956x9956 data lives in the NLEVP gallery
@@ -191,9 +192,35 @@ def gun_like(n: int = 256, seed: int = 0,
     the real gun's phenomenology (a handful of isolated cavity resonances
     inside a huge contour, far-away bands elsewhere; the reference's
     contour holds ~20 eigenvalues against m0=84, test/paper_exact.jl:102).
-    """
-    import jax.numpy as jnp
 
+    cache_dir: if given, the expensive host-built coefficient arrays are
+    loaded from (or built once and saved to) an npz fixture there — the
+    n=9956 host build costs ~minutes-to-tens-of-minutes (two (n, n//64)
+    x (n//64, n) GEMMs + spectral normalizations), which made the
+    reference-scale NLEP benchmark effectively one-shot (r2 verdict #7).
+    """
+    parts = None
+    path = None
+    if cache_dir is not None:
+        os.makedirs(cache_dir, exist_ok=True)
+        tag = "none" if planted is None else str(planted)
+        path = os.path.join(
+            cache_dir, f"gun_like_n{n}_seed{seed}_p{tag}"
+                       f"_c{cluster[0]:g}-{cluster[1]:g}.npz")
+        if os.path.exists(path):
+            with np.load(path) as z:
+                parts = {k: z[k] for k in z.files}
+    if parts is None:
+        parts = _gun_like_parts(n, seed, planted, cluster)
+        if path is not None:
+            tmp = path + ".tmp.npz"
+            np.savez(tmp, **parts)
+            os.replace(tmp, path)
+    return _gun_like_assemble(parts)
+
+
+def _gun_like_parts(n, seed, planted, cluster) -> dict:
+    """Host build of the gun_like coefficient arrays (all real float64)."""
     rng = np.random.default_rng(seed)
     if planted is None:
         # SPD-ish stiffness / mass, low-rank boundary coupling
@@ -247,6 +274,22 @@ def gun_like(n: int = 256, seed: int = 0,
         # contour crossing a sqrt cut is non-analytic and the moment
         # quadrature would plateau at ~1e-6
         s1, s2 = 0.0, np.sqrt(0.8 * cluster[0])
+
+    parts = {"K": K, "W1": W1, "W2": W2,
+             "s1": np.float64(s1), "s2": np.float64(s2),
+             "m_identity": np.bool_(planted is not None)}
+    if planted is None:
+        parts["M"] = M
+    return parts
+
+
+def _gun_like_assemble(parts: dict) -> SPMF:
+    import jax.numpy as jnp
+
+    K, W1, W2 = parts["K"], parts["W1"], parts["W2"]
+    s1, s2 = float(parts["s1"]), float(parts["s2"])
+    M = (np.eye(K.shape[0]) if bool(parts["m_identity"])
+         else parts["M"])
 
     one = lambda z: cx.CX(jnp.ones_like(z.re), jnp.zeros_like(z.im))
     neg_z = lambda z: cx.CX(-z.re, -z.im)
