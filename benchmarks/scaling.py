@@ -5,7 +5,11 @@ Measures wall time of the FEAST solve phase with the node axis sharded over
 efficiency — the BASELINE north-star metric the reference cannot produce
 (its only parallelism is shared-memory threads).
 
+Also measures the SLICE axis (feast_sliced_parallel: n_slices stacked on a
+vmapped leading dim, sharded, one jit) with the same devices sweep.
+
     python benchmarks/scaling.py [--n 800] [--m0 24] [--nodes 8]
+        [--out benchmarks/results/scaling.json]
 """
 
 from __future__ import annotations
@@ -26,6 +30,9 @@ def main():
     ap.add_argument("--m0", type=int, default=24)
     ap.add_argument("--nodes", type=int, default=8)
     ap.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
+    ap.add_argument("--slices", type=int, default=8)
+    ap.add_argument("--slice-n", type=int, default=600)
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     flags = os.environ.get("XLA_FLAGS", "")
@@ -76,12 +83,59 @@ def main():
         results.append({"devices": nd, "wall_s": round(wall, 3),
                         "speedup": round(base / wall, 2),
                         "efficiency": round(eff, 3)})
-    print(json.dumps({
-        "n": n, "m0": m0, "nodes": args.nodes, "scaling": results,
-        "note": ("virtual CPU devices share physical cores, so efficiency "
-                 "here only validates the sharding machinery; real "
-                 "node-parallel efficiency needs >=2 chips"),
-    }, indent=2))
+
+    # ---- slice axis: n_slices solved concurrently in ONE jit, sharded ----
+    from jax.sharding import Mesh
+
+    from feast_tpu.parallel import feast_sliced_parallel
+    from feast_tpu.problems import laplacian_1d
+
+    ns = args.slice_n
+    L = laplacian_1d(ns)
+    exact = 2 - 2 * np.cos(np.arange(1, ns + 1) * np.pi / (ns + 1))
+    hi = float(exact[59] + 0.5 * (exact[60] - exact[59]))  # lowest 60 modes
+
+    slice_results = []
+    sbase = None
+    for nd in args.devices:
+        if args.slices % nd != 0 or nd > len(jax.devices()):
+            continue
+        smesh = Mesh(np.array(jax.devices()[:nd]), axis_names=("slice",))
+
+        def srun():
+            t0 = time.perf_counter()
+            out = feast_sliced_parallel(L, (0.0, hi), args.slices, nodes=8,
+                                        iters=6, tol=1e-30, mesh=smesh,
+                                        seed=1)
+            np.asarray(out.res)
+            return time.perf_counter() - t0
+
+        srun()  # compile
+        wall = min(srun() for _ in range(2))
+        if sbase is None:
+            sbase = wall
+        slice_results.append({"devices": nd, "wall_s": round(wall, 3),
+                              "speedup": round(sbase / wall, 2),
+                              "efficiency": round(sbase / (wall * nd), 3)})
+
+    report = {
+        "node_axis": {"n": n, "m0": m0, "nodes": args.nodes,
+                      "scaling": results},
+        "slice_axis": {"n": ns, "slices": args.slices, "iters": 6,
+                       "scaling": slice_results},
+        "note": ("virtual CPU devices share physical cores AND the "
+                 "1-device baseline already multithreads via XLA intra-op "
+                 "parallelism, so efficiency here measures core contention, "
+                 "not sharding overhead; it validates the communication "
+                 "pattern (node axis: one psum per sweep; slice axis: "
+                 "scalar-only termination vote). Real parallel efficiency "
+                 "needs >=2 chips"),
+    }
+    txt = json.dumps(report, indent=2)
+    print(txt)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(txt)
 
 
 if __name__ == "__main__":
