@@ -93,12 +93,28 @@ def numpy_feast(A, X0, c, r, nodes=16, tol=1e-10, iters=20):
 
 
 def tpu_feast_compiled(A, X0, c, r, nodes=16, tol=1e-10, iters=20, reps=3):
-    """Primary timed path: feast_compiled, warmup + best-of-N."""
+    """Primary timed path: feast_compiled, warmup + best-of-N.
+
+    A/X0 are pushed to the device ONCE, outside the timed region (the
+    LAPACK baseline also starts with A resident in RAM; re-uploading
+    268MB per rep over the remote tunnel only re-measures tunnel jitter —
+    the r2 headline-halving culprit).  The one-time push is reported as
+    upload_s."""
+    import jax.numpy as jnp
+
     import feast_tpu as ft
+    from feast_tpu import cx
+
+    t0 = time.perf_counter()
+    Ax = cx.from_numpy(A, jnp.float64)
+    Xx = cx.from_numpy(X0, jnp.float64)
+    _ = np.asarray(jnp.sum(Ax.re))  # force the transfer (remote-TPU
+    # block_until_ready caveat: only a host read reliably blocks)
+    upload_s = time.perf_counter() - t0
 
     def run():
         t0 = time.perf_counter()
-        out = ft.feast_compiled(A, X0, c=c, r=r, nodes=nodes, iters=iters,
+        out = ft.feast_compiled(Ax, Xx, c=c, r=r, nodes=nodes, iters=iters,
                                 tol=tol, mixed_prec=True)
         _ = np.asarray(out.res)  # host transfer: the only reliable barrier
         return time.perf_counter() - t0, out
@@ -114,6 +130,7 @@ def tpu_feast_compiled(A, X0, c, r, nodes=16, tol=1e-10, iters=20, reps=3):
     inside = np.asarray(out.inside)
     return {
         "walls_s": walls, "best_s": min(walls),
+        "upload_s": round(upload_s, 2),
         "spread_pct": round(100 * (max(walls) - min(walls)) / min(walls), 1),
         "warmup_s": round(warm_wall, 2),
         "compile_cache": "miss (new entries written)" if compiled_fresh
@@ -149,35 +166,37 @@ def phase_profile(A, X0, c, r, nodes=16):
     z = k.device_nodes(dtype)
     w = k.device_weights(dtype)
 
-    def sync(t):
-        jax.tree_util.tree_map(
-            lambda x: np.asarray(x.re if hasattr(x, "re") else x)
-            if hasattr(x, "re") else np.asarray(x), t)
-
-    def timed(fn, *args, **kw):
-        out = fn(*args, **kw)  # warmup/compile
-        _ = np.asarray(jax.tree_util.tree_leaves(out)[0])
+    def timed(fn, *args, static=()):
+        """Time fn JITTED (eager per-op dispatch over the remote tunnel is
+        ~25ms/op and would measure the tunnel, not the chip)."""
+        jfn = jax.jit(fn, static_argnames=static)
+        out = jfn(*args)  # warmup/compile
+        for leaf in jax.tree_util.tree_leaves(out):
+            _ = np.asarray(leaf.ravel()[:1])  # force every output buffer
         best = np.inf
         for _ in range(2):
             t0 = time.perf_counter()
-            out = fn(*args, **kw)
-            _ = np.asarray(jax.tree_util.tree_leaves(out)[0])
+            out = jfn(*args)
+            for leaf in jax.tree_util.tree_leaves(out):
+                _ = np.asarray(leaf.ravel()[:1])
             best = min(best, time.perf_counter() - t0)
         return best, out
 
     prof = {}
     # factor phase: nodes x f32 LU + diagonal-block inverses
-    t_f, (LUb, permb, dinvb) = timed(fmod._factor_scan, Ax, None, z,
-                                     solve_f32=True)
+    t_f, (LUb, permb, dinvb) = timed(
+        lambda a, zz: fmod._factor_scan(a, None, zz, solve_f32=True), Ax, z)
     flops_factor = nodes * (16 / 3) * n ** 3
     prof["factor"] = {"wall_s": round(t_f, 3),
                       "model_f32_gflop": round(flops_factor / 1e9, 1),
                       "achieved_tflops": round(flops_factor / t_f / 1e12, 2)}
     # one refinement step (RR + node update with 2 IR sweeps)
     Sb_empty = cx.CX(jnp.zeros((0,)), jnp.zeros((0,)))
-    t_s, _ = timed(fmod._feast_step, Qx, Ax, None, LUb, permb, dinvb,
-                   Sb_empty, z, w, k.kind, k.params, "cholqr2", True, True,
-                   "lu", True)
+    t_s, _ = timed(
+        lambda q, a, lub, pb, db, zz, ww: fmod._feast_step(
+            q, a, None, lub, pb, db, Sb_empty, zz, ww, k.kind, k.params,
+            "cholqr2", True, True, "lu", True),
+        Qx, Ax, LUb, permb, dinvb, z, w)
     refine = 2
     solves = (1 + refine) * 2 * 16 * n * n * m0 * nodes   # f32 tri solves
     ir_gemms = refine * 2 * 16 * n * n * nodes * m0       # f64 wide GEMMs

@@ -785,28 +785,30 @@ def _feast_compiled(Q: CX, A: CX, B, LUb, permb, dinvb, Sb, z: CX, w: CX,
     solve_dtype = jnp.float32 if solve_f32 else None
     Sb_ref = Sb if (solve_f32 and Sb.re.ndim == 3) else None
 
-    def step(Q):
-        Qo = qrmod.orthonormalize(Q, method=ortho)
-        lam, X, R, res = _rayleigh_ritz(Qo, A, B, pencil)
-        inside = _in_mask(lam, kind, params)
-        if node_scan:
-            Qn = _node_update_scan(LUb, permb, z, w, X, R, lam,
-                                   solve_dtype, A, B, store=True,
-                                   dinvb=dinvb)
-        else:
-            Qn = _node_update(LUb, permb, z, w, X, R, lam, solve_dtype,
-                              Sb_ref)
-        return Qn, lam, X, res, inside
-
     def cond(state):
         Q, lam, X, res, inside, it, done = state
         return (~done) & (it <= iters)
 
     def body(state):
         Q, lam, X, res, inside, it, done = state
-        Qn, lam, X, res, inside = step(Q)
+        Qo = qrmod.orthonormalize(Q, method=ortho)
+        lam, X, R, res = _rayleigh_ritz(Qo, A, B, pencil)
+        inside = _in_mask(lam, kind, params)
         worst = jnp.max(jnp.where(inside, res, 0.0))
         done = inside.any() & (worst < tol)
+
+        # the node update is dead work once converged (the loop exits on
+        # this state) — skip it, matching the reference/numpy loop which
+        # breaks BEFORE the update (one full 16-node solve pass saved)
+        def update(_):
+            if node_scan:
+                return _node_update_scan(LUb, permb, z, w, X, R, lam,
+                                         solve_dtype, A, B, store=True,
+                                         dinvb=dinvb)
+            return _node_update(LUb, permb, z, w, X, R, lam, solve_dtype,
+                                Sb_ref)
+
+        Qn = lax.cond(done, lambda _: Qo, update, operand=None)
         return Qn, lam, X, res, inside, it + 1, done
 
     n, m0 = Q.shape
