@@ -208,6 +208,25 @@ def phase_profile(A, X0, c, r, nodes=16):
         "achieved_tflops_mixed": round(
             (solves + ir_gemms + rr_gemms) / t_s / 1e12, 2),
     }
+    # step sub-phases (ortho / RR incl. 48x48 device Schur / node update)
+    from feast_tpu.ops import qr as qrmod
+
+    t_o, Qo = timed(
+        lambda q: qrmod.orthonormalize(q, method="cholqr2"), Qx)
+    t_rr, (lam, Xr, R, _res) = timed(
+        lambda q: fmod._rayleigh_ritz(q, Ax, None, "lu"), Qo)
+    t_u, _ = timed(
+        lambda xx, rr_, ll: fmod._node_update_scan(
+            LUb, permb, z, w, xx, rr_, ll, jnp.float32, Ax, None,
+            store=True, dinvb=dinvb), Xr, R, lam)
+    prof["step_parts"] = {
+        "ortho_s": round(t_o, 3),
+        "rr_s": round(t_rr, 3),
+        "node_update_s": round(t_u, 3),
+        "note": "rr includes the m0 x m0 on-device Schur eigensolve; "
+                "node_update = 16 scanned f32 LU solves + 2 batched "
+                "emulated-f64 IR sweeps",
+    }
     return prof
 
 
@@ -326,11 +345,16 @@ def main():
         load0 = None
     A, X0, c, r = _problem()
     tpu = tpu_feast_compiled(A, X0, c, r)
-    base_s, base_res, base_it, base_factor_s = numpy_feast(A, X0, c, r)
+    # baseline best-of-2: the LAPACK wall moves ~30% run-to-run with host
+    # state (measured r3: 64.7 vs 83.8 s at comparable load) — the TPU
+    # side is best-of-3, so the ratio should not ride one noisy CPU run
+    base_runs = [numpy_feast(A, X0, c, r) for _ in range(2)]
+    base_s, base_res, base_it, base_factor_s = min(base_runs)
     wall_s = tpu["best_s"]
     detail = {
         "tpu_compiled": tpu,
         "lapack_cpu": {"wall_s": round(base_s, 4),
+                       "walls_s": [round(b[0], 2) for b in base_runs],
                        "factor_s": round(base_factor_s, 2),
                        "max_res_inside": base_res, "iters": base_it,
                        "loadavg_at_start": load0},
