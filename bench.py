@@ -126,10 +126,22 @@ def tpu_feast_compiled(A, X0, c, r, nodes=16, tol=1e-10, iters=20, reps=3):
     for _ in range(reps):
         wall, out = run()
         walls.append(round(wall, 4))
+    # alternative driver for the detail: python-loop feast with host-LAPACK
+    # RR (the 48x48 reduced eig on host costs ~1ms vs ~0.5s for the
+    # on-device Schur; the loop pays ~per-sweep dispatch latency instead)
+    def run_host_rr():
+        t0 = time.perf_counter()
+        o = ft.feast(Ax, Xx, c=c, r=r, nodes=nodes, iters=iters, tol=tol,
+                     mixed_prec=True, rr="host")
+        _ = np.asarray(o.res)
+        return time.perf_counter() - t0
+    run_host_rr()
+    pyloop_host = min(run_host_rr() for _ in range(2))
     res = np.asarray(out.res)
     inside = np.asarray(out.inside)
     return {
         "walls_s": walls, "best_s": min(walls),
+        "pyloop_host_rr_s": round(pyloop_host, 4),
         "upload_s": round(upload_s, 2),
         "spread_pct": round(100 * (max(walls) - min(walls)) / min(walls), 1),
         "warmup_s": round(warm_wall, 2),
@@ -211,14 +223,18 @@ def phase_profile(A, X0, c, r, nodes=16):
     # step sub-phases (ortho / RR incl. 48x48 device Schur / node update)
     from feast_tpu.ops import qr as qrmod
 
+    # every big array must be a jit ARGUMENT — a closed-over matrix
+    # becomes an HLO constant and blows the remote-compile tunnel's
+    # request-size limit (HTTP 413 at 268MB; see CLAUDE.md)
     t_o, Qo = timed(
         lambda q: qrmod.orthonormalize(q, method="cholqr2"), Qx)
     t_rr, (lam, Xr, R, _res) = timed(
-        lambda q: fmod._rayleigh_ritz(q, Ax, None, "lu"), Qo)
+        lambda q, a: fmod._rayleigh_ritz(q, a, None, "lu"), Qo, Ax)
     t_u, _ = timed(
-        lambda xx, rr_, ll: fmod._node_update_scan(
-            LUb, permb, z, w, xx, rr_, ll, jnp.float32, Ax, None,
-            store=True, dinvb=dinvb), Xr, R, lam)
+        lambda lub, pb, db, zz, ww, xx, rr_, ll, a: fmod._node_update_scan(
+            lub, pb, zz, ww, xx, rr_, ll, jnp.float32, a, None,
+            store=True, dinvb=db),
+        LUb, permb, dinvb, z, w, Xr, R, lam, Ax)
     prof["step_parts"] = {
         "ortho_s": round(t_o, 3),
         "rr_s": round(t_rr, 3),

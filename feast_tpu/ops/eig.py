@@ -39,44 +39,60 @@ def _getitem_scalar(a: CX, i) -> CX:
 
 
 def hessenberg(A: CX):
-    """Reduce A to upper Hessenberg H = Q^H A Q, returning (H, Q)."""
+    """Reduce A to upper Hessenberg H = Q^H A Q, returning (H, Q).
+
+    Body form: all six complex matvecs of the two-sided application ride
+    in TWO stacked real GEMMs per step (left: (2, n) @ (n, 2n); right:
+    (4n, n) @ (n, 2)); the three rank-1 updates are broadcast FMAs.
+    MEASURED (real chip, r3): this is speed-NEUTRAL vs the 12-hdot form
+    (~2.8 ms/step either way at n=48) — per-step cost on this chip is set
+    by the count of sequential scalar->vector dependency stages (~150 us
+    each: norm, phase, beta, each GEMM), not by kernel-launch count.
+    Kept for the lower op count; the cost model lives in CLAUDE.md."""
     n = A.shape[0]
     idx = jnp.arange(n)
     Q = cx.eye(n, A.dtype)
+    hi = jax.lax.Precision.HIGHEST
 
     def body(k, AQ):
         A, Q = AQ
-        x = A[:, k]
-        m = idx >= k + 1
-        xm = cx.where(m, x, cx.zeros((n,), A.dtype))
-        normx = jnp.sqrt(jnp.sum(cx.abs2(xm)))
-        alpha = _getitem_scalar(xm, k + 1)
+        m = (idx >= k + 1).astype(A.dtype)
+        xr = A.re[:, k] * m
+        xi = A.im[:, k] * m
+        normx = jnp.sqrt(jnp.sum(xr * xr + xi * xi))
+        alpha = CX(xr[k + 1], xi[k + 1])
         ph = cx.phase(alpha)
-        # v = xm + ph*normx * e_{k+1}
-        add = ph * normx
-        sel = (idx == k + 1)
-        v = CX(xm.re + jnp.where(sel, add.re, 0.0),
-               xm.im + jnp.where(sel, add.im, 0.0))
-        vnorm2 = jnp.sum(cx.abs2(v))
-        beta = jnp.where(vnorm2 > 0, 2.0 / jnp.where(vnorm2 > 0, vnorm2, 1.0), 0.0)
-        # A <- (I - beta v v^H) A : w = v^H A
-        w = CX(
-            cx.hdot(v.re, A.re) + cx.hdot(v.im, A.im),
-            cx.hdot(v.re, A.im) - cx.hdot(v.im, A.re),
-        )
-        A = A - _outer(v, w) * beta
-        # A <- A (I - beta v v^H) : u = A v
-        u = CX(
-            cx.hdot(A.re, v.re) - cx.hdot(A.im, v.im),
-            cx.hdot(A.re, v.im) + cx.hdot(A.im, v.re),
-        )
-        A = A - _outer(u, v.conj()) * beta
-        # Q <- Q (I - beta v v^H)
-        qv = CX(
-            cx.hdot(Q.re, v.re) - cx.hdot(Q.im, v.im),
-            cx.hdot(Q.re, v.im) + cx.hdot(Q.im, v.re),
-        )
-        Q = Q - _outer(qv, v.conj()) * beta
+        # v = x_masked + ph*normx * e_{k+1}
+        sel = (idx == k + 1).astype(A.dtype)
+        v = CX(xr + sel * (ph.re * normx), xi + sel * (ph.im * normx))
+        vnorm2 = jnp.sum(v.re * v.re + v.im * v.im)
+        beta = jnp.where(vnorm2 > 0, 2.0 / jnp.where(vnorm2 > 0, vnorm2, 1.0),
+                         0.0)
+        V2 = jnp.stack([v.re, v.im])                      # (2, n)
+        # ---- left apply A <- (I - beta v v^H) A ----
+        AL = jnp.concatenate([A.re, A.im], axis=1)        # (n, 2n)
+        W = jnp.matmul(V2, AL, precision=hi)              # (2, 2n): one GEMM
+        wre = W[0, :n] + W[1, n:]
+        wim = W[0, n:] - W[1, :n]
+        A = CX(A.re - beta * (v.re[:, None] * wre[None, :]
+                              - v.im[:, None] * wim[None, :]),
+               A.im - beta * (v.re[:, None] * wim[None, :]
+                              + v.im[:, None] * wre[None, :]))
+        # ---- right apply A <- A (I - beta v v^H), Q <- Q (I - beta v v^H)
+        M = jnp.concatenate([A.re, A.im, Q.re, Q.im], axis=0)  # (4n, n)
+        U = jnp.matmul(M, V2.T, precision=hi)             # (4n, 2): one GEMM
+        ure, uim = U[:n, 0] - U[n:2 * n, 1], U[:n, 1] + U[n:2 * n, 0]
+        qre, qim = (U[2 * n:3 * n, 0] - U[3 * n:, 1],
+                    U[2 * n:3 * n, 1] + U[3 * n:, 0])
+        # outer(u, conj(v)) updates, fused broadcast FMAs
+        A = CX(A.re - beta * (ure[:, None] * v.re[None, :]
+                              + uim[:, None] * v.im[None, :]),
+               A.im - beta * (uim[:, None] * v.re[None, :]
+                              - ure[:, None] * v.im[None, :]))
+        Q = CX(Q.re - beta * (qre[:, None] * v.re[None, :]
+                              + qim[:, None] * v.im[None, :]),
+               Q.im - beta * (qim[:, None] * v.re[None, :]
+                              - qre[:, None] * v.im[None, :]))
         return A, Q
 
     if n > 2:

@@ -207,14 +207,18 @@ def _node_update_scan(LUb, permb, z: CX, w: CX, X: CX, R: CX, lam: CX,
         return CX(jnp.sum(terms.re, axis=0), jnp.sum(terms.im, axis=0))
 
     def body(acc, inp):
+        dinv = None
         if store:
-            LU, perm, zi, wi = inp
+            if dinvb is None:
+                LU, perm, zi, wi = inp
+            else:
+                LU, perm, dinv, zi, wi = inp
         else:
             zi, wi = inp
             Si_f = _shifted_single(A, B, zi)
             LU, perm = lumod.lu_factor(
                 Si_f.astype(solve_dtype) if mixed else Si_f)
-        temp = lumod.lu_solve(LU, perm, R_s)
+        temp = lumod.lu_solve(LU, perm, R_s, dinv=dinv)
         if mixed:
             temp = temp.astype(X.re.dtype)
             if refine:
@@ -229,7 +233,11 @@ def _node_update_scan(LUb, permb, z: CX, w: CX, X: CX, R: CX, lam: CX,
         return acc + term, None
 
     acc0 = CX(jnp.zeros_like(X.re), jnp.zeros_like(X.im))
-    xs = (LUb, permb, z, w) if store else (z, w)
+    if store:
+        xs = ((LUb, permb, z, w) if dinvb is None
+              else (LUb, permb, dinvb, z, w))
+    else:
+        xs = (z, w)
     acc, _ = lax.scan(body, acc0, xs)
     return acc
 
@@ -767,11 +775,12 @@ def dual_gen_feast(A, B, Xr0, Xl0, contour: Optional[ct.Contour] = None, *,
 
 @functools.partial(jax.jit, static_argnames=("kind", "params", "ortho",
                                              "iters", "tol", "solve_f32",
-                                             "pencil", "node_scan"))
+                                             "pencil", "node_scan",
+                                             "two_tier"))
 def _feast_compiled(Q: CX, A: CX, B, LUb, permb, dinvb, Sb, z: CX, w: CX,
                     kind: str, params, ortho: str, iters: int, tol: float,
                     solve_f32: bool = False, pencil: str = "lu",
-                    node_scan: bool = False):
+                    node_scan: bool = False, two_tier: bool = False):
     """The whole refinement loop as ONE compiled while_loop — no host
     synchronization until the final result.  This is the real-hardware
     production path (the python-loop driver syncs m0-sized data per
@@ -781,9 +790,69 @@ def _feast_compiled(Q: CX, A: CX, B, LUb, permb, dinvb, Sb, z: CX, w: CX,
     node_scan mirrors `_drive`'s large-n mode: per-node factors were built
     by `_factor_scan` (natural layouts, diagonal-block inverses) and the
     update runs `_node_update_scan` — required at n >= 4096 x 16 nodes
-    where the vmapped batch OOMs (see `_node_scan_auto`)."""
+    where the vmapped batch OOMs (see `_node_scan_auto`).
+
+    two_tier (requires solve_f32): a COARSE all-f32 while_loop (f32
+    ortho + RR + plain f32 solves, no IR) runs first and hands its
+    subspace to the f64 loop.  Early sweeps only steer the subspace —
+    1e-6-grade Ritz data steers just as well, and the f32 small eig /
+    solves cost a fraction of the emulated-f64 ones (the m0 x m0 device
+    Schur is the per-sweep long pole on the remote chip: ~0.54 s f64 vs
+    ~0.21 s f32 at m0=48).  The coarse loop exits when its residual
+    stalls (< 2x progress per sweep) or nears the f32 floor; the f64
+    loop then finishes to tol with full accuracy.  Trajectories differ
+    from the single-tier loop only in how many sweeps land in each tier;
+    the converged result is identical to feast()'s within tol."""
     solve_dtype = jnp.float32 if solve_f32 else None
     Sb_ref = Sb if (solve_f32 and Sb.re.ndim == 3) else None
+    n, m0 = Q.shape
+    it0 = jnp.array(0, jnp.int32)
+
+    if two_tier and solve_f32:
+        f32 = jnp.float32
+        A32 = A.astype(f32)
+        B32 = None if B is None else B.astype(f32)
+        z32, w32 = z.astype(f32), w.astype(f32)
+        # f32 residual floor proxy: eps32 * ||A||_2-ish (Frobenius /
+        # sqrt(n) ~ the 2-norm for scattered spectra).  Measured r3 on the
+        # n=4096 bench problem: 20x this floor stopped the coarse tier two
+        # sweeps early (each f32 sweep saves ~0.33 s vs f64); 2x sits at
+        # the true f32 steering limit with the stall check as the guard.
+        floor32 = 2.0 * jnp.finfo(f32).eps * cx.fro_norm(A32) / np.sqrt(n)
+
+        def c_cond(state):
+            Qc, prev, it, stop = state
+            return (~stop) & (it < iters)
+
+        def c_body(state):
+            Qc, prev, it, stop = state
+            Qo = qrmod.orthonormalize(Qc, method=ortho)
+            lam, X, R, res = _rayleigh_ritz(Qo, A32, B32, pencil)
+            inside = _in_mask(lam, kind, params)
+            worst = jnp.max(jnp.where(inside, res, 0.0))
+            stop = ((it > 0) & (worst > 0.5 * prev)) \
+                | (inside.any() & (worst <= floor32)) \
+                | ((it > 1) & ~inside.any())
+
+            def update(_):
+                if node_scan:
+                    return _node_update_scan(LUb, permb, z32, w32, X, R,
+                                             lam, None, A32, B32, refine=0,
+                                             store=True, dinvb=dinvb)
+                return _node_update(LUb, permb, z32, w32, X, R, lam,
+                                    None, None)
+
+            Qn = lax.cond(stop, lambda _: Qo, update, operand=None)
+            return Qn, worst, it + 1, stop
+
+        Qc, _, c_it, _ = lax.while_loop(
+            c_cond, c_body,
+            (Q.astype(f32), jnp.array(np.inf, f32), it0, jnp.array(False)))
+        # hand off: one coarse sweep is RR-only on stop, so the f64 loop
+        # re-orthonormalizes and continues from the f32-grade subspace
+        Q = Qc.astype(Q.re.dtype)
+        # the stopping sweep did no update; don't count it
+        it0 = jnp.maximum(c_it - 1, 0)
 
     def cond(state):
         Q, lam, X, res, inside, it, done = state
@@ -811,10 +880,9 @@ def _feast_compiled(Q: CX, A: CX, B, LUb, permb, dinvb, Sb, z: CX, w: CX,
         Qn = lax.cond(done, lambda _: Qo, update, operand=None)
         return Qn, lam, X, res, inside, it + 1, done
 
-    n, m0 = Q.shape
     state0 = (Q, cx.zeros((m0,), Q.dtype), cx.zeros((n, m0), Q.dtype),
               jnp.zeros((m0,), Q.dtype), jnp.zeros((m0,), bool),
-              jnp.array(0, jnp.int32), jnp.array(False))
+              it0, jnp.array(False))
     Q, lam, X, res, inside, it, done = lax.while_loop(cond, body, state0)
     return lam, X, res, inside, it, done
 
@@ -825,7 +893,8 @@ def feast_compiled(A, X0, contour: Optional[ct.Contour] = None, *,
                    ortho: str = "cholqr2", B=None, mesh=None,
                    mixed_prec: bool = False, pencil: str = "lu",
                    hermitian: bool = False,
-                   node_scan: Optional[bool] = None) -> FeastResult:
+                   node_scan: Optional[bool] = None,
+                   two_tier: Optional[bool] = None) -> FeastResult:
     """feast/gen_feast with the entire refinement loop in one jit.
 
     Semantics match `feast`/`gen_feast` with store=True; convergence is
@@ -833,7 +902,14 @@ def feast_compiled(A, X0, contour: Optional[ct.Contour] = None, *,
     result is read.  pencil/hermitian select the Rayleigh-Ritz reduction
     exactly as in `feast`/`gen_feast`; node_scan (auto at large n, like
     `feast`) factors/solves one node at a time so the headline n >= 4096
-    configs fit a 16GB chip."""
+    configs fit a 16GB chip.
+
+    two_tier (auto-on with mixed_prec, pass False to disable): run the
+    early refinement sweeps entirely in f32 (ortho, RR, plain solves)
+    and switch to the f64 loop when f32 progress stalls — the m0 x m0
+    on-device eig and the emulated-f64 arithmetic dominate per-sweep cost
+    on the remote chip, and early sweeps only steer the subspace (see
+    _feast_compiled).  Final accuracy is set by the f64 tier alone."""
     if hermitian:
         pencil = "hermitian"
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
@@ -860,8 +936,10 @@ def feast_compiled(A, X0, contour: Optional[ct.Contour] = None, *,
         LUb, permb = jax.jit(lumod.lu_factor_batched)(
             Sb.astype(jnp.float32) if mixed_prec else Sb)
         Sb_pass = Sb if mixed_prec else CX(jnp.zeros((0,)), jnp.zeros((0,)))
+    if two_tier is None:
+        two_tier = bool(mixed_prec)
     lam, X, res, inside, it, done = _feast_compiled(
         Q, A, B, LUb, permb, dinvb, Sb_pass, z, w, contour.kind,
         contour.params, ortho, int(iters), float(tol), bool(mixed_prec),
-        pencil, bool(node_scan))
+        pencil, bool(node_scan), bool(two_tier and mixed_prec))
     return FeastResult(lam, X, res, inside, int(it), bool(done))

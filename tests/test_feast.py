@@ -343,3 +343,30 @@ def test_feast_compiled_node_scan_matches():
     np.testing.assert_allclose(np.sort(lv.real), np.sort(ls.real),
                                rtol=1e-10)
     assert rv.max() < 1e-12 and rs.max() < 1e-12
+
+
+def test_feast_compiled_two_tier_matches():
+    """two_tier=True (coarse all-f32 sweeps, then the f64 loop) must reach
+    the same eigenpairs and tolerance as the single-tier compiled driver —
+    the f32 tier only steers the subspace; accuracy is set by the f64
+    tier (see _feast_compiled docstring)."""
+    n, m0 = 120, 10
+    rng = np.random.default_rng(4)
+    A = np.diag(np.arange(1.0, n + 1.0)).astype(np.complex128)
+    A += 0.02 * (rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n)))
+    X0 = rng.standard_normal((n, m0)) + 1j * rng.standard_normal((n, m0))
+    kw = dict(c=4.0 + 0.0j, r=3.2, nodes=8, iters=20, tol=1e-11,
+              mixed_prec=True)
+    import feast_tpu as ft
+
+    out_1 = ft.feast_compiled(A, X0, two_tier=False, **kw)
+    out_2 = ft.feast_compiled(A, X0, two_tier=True, **kw)
+    out_3 = ft.feast_compiled(A, X0, two_tier=True, node_scan=True, **kw)
+    assert out_1.converged and out_2.converged and out_3.converged
+    l1, _, r1 = out_1.filtered()
+    for o in (out_2, out_3):
+        l2, _, r2 = o.filtered()
+        assert len(l2) == len(l1)
+        np.testing.assert_allclose(np.sort(l2.real), np.sort(l1.real),
+                                   rtol=1e-9)
+        assert r2.max() < 1e-11
