@@ -40,14 +40,16 @@ def test_union_pair_alignment():
 def test_banded_levels_use_dia():
     """A banded fine matrix must produce DIA level operators (the
     shifted-slice SpMM path — no gather temps at the 1M-dof scale), with
-    matching A/B structure; P/R stay CSR (aggregate-map columns)."""
+    matching A/B structure; P/R are gather-free layouts (BELL when the
+    aggregate-map block fill allows, CSR otherwise — r3 unstructured
+    work)."""
     n = 3000
     h = amgmod.build_amg(lap1d(n))
     assert len(h.levels) >= 1
     L0 = h.levels[0]
     assert isinstance(L0.A_op, spmod.DIA) and isinstance(L0.B_op, spmod.DIA)
     assert L0.A_op.offsets == L0.B_op.offsets
-    assert isinstance(L0.P, spmod.CSR)
+    assert isinstance(L0.P, (spmod.BELL, spmod.CSR))
     # the union structure must reproduce A - z B exactly
     z = cx.CX(jnp.asarray(0.3), jnp.asarray(0.1))
     S = amgmod._shifted_op(L0.A_op, L0.B_op, z)
