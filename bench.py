@@ -92,8 +92,17 @@ def numpy_feast(A, X0, c, r, nodes=16, tol=1e-10, iters=20):
             t_factor)
 
 
-def tpu_feast_compiled(A, X0, c, r, nodes=16, tol=1e-10, iters=20, reps=3):
-    """Primary timed path: feast_compiled, warmup + best-of-N.
+def tpu_feast_compiled(A, X0, c, r, nodes=16, tol=1e-10, iters=20, reps=3,
+                       driver="compiled"):
+    """Primary timed path: warmup + best-of-N.
+
+    driver: "compiled" = feast_compiled single-jit loop (zero host
+    round-trips); "host_rr" = python-loop feast(rr="host") — the LU store
+    is a jit ARGUMENT there, which XLA aliases, so it avoids the single-
+    jit while-loop's staging copy of the whole factor batch (measured:
+    that copy is a (nodes, n, n) f32 HLO temp that OOMs n=8192 even at 8
+    nodes; the pyloop fits and was the fastest n=4096 driver anyway);
+    "auto" = try compiled, fall back to host_rr on failure.
 
     A/X0 are pushed to the device ONCE, outside the timed region (the
     LAPACK baseline also starts with A resident in RAM; re-uploading
@@ -112,44 +121,60 @@ def tpu_feast_compiled(A, X0, c, r, nodes=16, tol=1e-10, iters=20, reps=3):
     # block_until_ready caveat: only a host read reliably blocks)
     upload_s = time.perf_counter() - t0
 
-    def run():
+    def run_compiled():
         t0 = time.perf_counter()
         out = ft.feast_compiled(Ax, Xx, c=c, r=r, nodes=nodes, iters=iters,
                                 tol=tol, mixed_prec=True)
         _ = np.asarray(out.res)  # host transfer: the only reliable barrier
         return time.perf_counter() - t0, out
 
-    entries0 = _cache_entries()
-    warm_wall, out = run()  # compile (persistent-cached across bench runs)
-    compiled_fresh = _cache_entries() > entries0
-    walls = []
-    for _ in range(reps):
-        wall, out = run()
-        walls.append(round(wall, 4))
-    # alternative driver for the detail: python-loop feast with host-LAPACK
-    # RR (the 48x48 reduced eig on host costs ~1ms vs ~0.5s for the
-    # on-device Schur; the loop pays ~per-sweep dispatch latency instead)
     def run_host_rr():
         t0 = time.perf_counter()
         o = ft.feast(Ax, Xx, c=c, r=r, nodes=nodes, iters=iters, tol=tol,
                      mixed_prec=True, rr="host")
         _ = np.asarray(o.res)
-        return time.perf_counter() - t0
-    run_host_rr()
-    pyloop_host = min(run_host_rr() for _ in range(2))
-    res = np.asarray(out.res)
-    inside = np.asarray(out.inside)
-    return {
+        return time.perf_counter() - t0, o
+
+    fallback_err = None
+    run = run_compiled
+    if driver == "host_rr":
+        run = run_host_rr
+    entries0 = _cache_entries()
+    try:
+        warm_wall, out = run()  # compile (persistent-cached across runs)
+    except Exception as e:
+        if driver != "auto":
+            raise
+        fallback_err = f"{type(e).__name__}: {str(e)[:300]}"
+        run = run_host_rr
+        warm_wall, out = run()
+    compiled_fresh = _cache_entries() > entries0
+    walls = []
+    for _ in range(reps):
+        wall, out = run()
+        walls.append(round(wall, 4))
+    result = {
+        "driver": "host_rr" if run is run_host_rr else "compiled",
         "walls_s": walls, "best_s": min(walls),
-        "pyloop_host_rr_s": round(pyloop_host, 4),
         "upload_s": round(upload_s, 2),
         "spread_pct": round(100 * (max(walls) - min(walls)) / min(walls), 1),
         "warmup_s": round(warm_wall, 2),
         "compile_cache": "miss (new entries written)" if compiled_fresh
                          else "hit (no new cache entries)",
-        "max_res_inside": float(res[inside].max()),
+        "max_res_inside": float(np.asarray(out.res)[
+            np.asarray(out.inside)].max()),
         "iters": int(out.n_iter),
     }
+    if fallback_err:
+        result["compiled_driver_error"] = fallback_err
+    if run is run_compiled:
+        # secondary driver for the detail: python-loop feast with host-
+        # LAPACK RR (the 48x48 reduced eig on host costs ~1ms vs ~0.5s for
+        # the on-device Schur; the loop pays per-sweep dispatch latency)
+        run_host_rr()
+        result["pyloop_host_rr_s"] = round(
+            min(run_host_rr()[0] for _ in range(2)), 4)
+    return result
 
 
 def phase_profile(A, X0, c, r, nodes=16):

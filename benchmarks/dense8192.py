@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--m0", type=int, default=48)
     ap.add_argument("--nodes", type=int, default=16)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--driver", default="auto",
+                    choices=["auto", "compiled", "host_rr"])
     ap.add_argument("--skip-baseline", action="store_true")
     args = ap.parse_args()
 
@@ -42,8 +44,13 @@ def main():
     except OSError:
         load0 = None
     A, X0, c, r = bench._problem(n=args.n, m0=args.m0)
+    # driver="auto": the single-jit loop OOMs at n=8192 (XLA's TPU while
+    # lowering stages a (nodes, n, n) f32 copy of the carried LU store —
+    # 2G even at 8 nodes, on top of the 4.3-8.6G store itself); the
+    # python-loop feast(rr="host") passes the store as an aliasable jit
+    # argument and fits.  auto records which driver actually ran.
     tpu = bench.tpu_feast_compiled(A, X0, c, r, nodes=args.nodes,
-                                   reps=args.reps)
+                                   reps=args.reps, driver=args.driver)
     out = {"n": args.n, "m0": args.m0, "nodes": args.nodes,
            "tpu_compiled": tpu, "loadavg_at_start": load0}
     if not args.skip_baseline:
