@@ -242,6 +242,113 @@ def _node_update_scan(LUb, permb, z: CX, w: CX, X: CX, R: CX, lam: CX,
     return acc
 
 
+# ---------------------------------------------------------------------------
+# host-composed per-node pipeline (very large n: no stacked factor store)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("solve_f32", "sblock"))
+def _factor_one(A: CX, B, zi: CX, solve_f32: bool, sblock: int):
+    Si = _shifted_single(A, B, zi)
+    if solve_f32:
+        Si = Si.astype(jnp.float32)
+    LU, perm = lumod.lu_factor(Si)
+    return LU, perm, lumod.lu_diag_inv(LU, sblock)
+
+
+def _factor_hostloop(A: CX, B, z: CX, solve_f32: bool):
+    """Per-node factors as SEPARATE device buffers (a python list).
+
+    Identical math to `_factor_scan`, but nothing is ever stacked into a
+    (nodes, n, n) tensor: measured on-chip, both the compiled while-loop
+    driver and the scan-over-LUb step STAGE a copy of the stacked factor
+    store through an HLO temp (a (nodes, n, n) f32 broadcast — 2 GB at
+    n=8192 even with 8 nodes, plus ~56% fragmentation), which OOMs a 16 GB
+    chip on top of the store itself.  Separate per-node buffers enter each
+    solve as plain jit arguments and are never staged or copied.  This is
+    the dense analogue of nlfeast's store=False chunk pipeline (the same
+    lesson at gun N=9956 scale: host-composed beats fused mega-graphs when
+    buffers approach HBM)."""
+    n = A.shape[0]
+    sblock = 512 if n > 4096 else lumod._auto_block(n)
+    return [_factor_one(A, B, CX(z.re[i], z.im[i]), solve_f32, sblock)
+            for i in range(z.shape[0])]
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype",))
+def _solve_one(LU: CX, perm, dinv, rhs: CX, out_dtype=None) -> CX:
+    out = lumod.lu_solve(LU, perm, rhs, dinv=dinv)
+    return out.astype(out_dtype) if out_dtype is not None else out
+
+
+@functools.partial(jax.jit, static_argnames=("solve_dtype",))
+def _solve_corr_one(LU: CX, perm, dinv, resid_i: CX, temp_i: CX,
+                    solve_dtype) -> CX:
+    corr = lumod.lu_solve(LU, perm, resid_i.astype(solve_dtype), dinv=dinv)
+    return temp_i + corr.astype(temp_i.re.dtype)
+
+
+@jax.jit
+def _ir_resid_split(A: CX, B, T: CX, z: CX, R: CX):
+    """IR residuals R - S_i T_i as ONE wide batched GEMM, returned as a
+    tuple of per-node (n, m0) blocks (one dispatch, nodes outputs — the
+    per-node python loop then feeds each block to its factor's solve)."""
+    ST = _apply_op_batch(A, B, T, z)
+    k = T.re.shape[0]
+    return tuple(CX(R.re - ST.re[i], R.im - ST.im[i]) for i in range(k))
+
+
+@jax.jit
+def _accum_update(X: CX, T: CX, z: CX, w: CX, lam: CX) -> CX:
+    diff = CX(X.re[None] - T.re, X.im[None] - T.im)
+    phi = jax.vmap(lambda zr, zi_, wr, wi_: _resolvent(
+        CX(wr, wi_), CX(zr, zi_), lam))(z.re, z.im, w.re, w.im)
+    terms = CX(diff.re * phi.re[:, None, :] - diff.im * phi.im[:, None, :],
+               diff.re * phi.im[:, None, :] + diff.im * phi.re[:, None, :])
+    return CX(jnp.sum(terms.re, axis=0), jnp.sum(terms.im, axis=0))
+
+
+def _node_update_hostloop(facts, z: CX, w: CX, X: CX, R: CX, lam: CX,
+                          solve_dtype, A: CX, B, refine: int = 2) -> CX:
+    """Host-composed RII update over per-node factor buffers.
+
+    Per-node jitted f32 solves; each iterative-refinement residual is one
+    wide batched emulated-f64 GEMM (`_apply_op_batch`, S_i never
+    materialized).  Costs ~nodes*(1+refine) dispatches per sweep (~25 ms
+    each on the remote link) — negligible against multi-second sweeps at
+    the n >= 8192 scales where this mode engages."""
+    mixed = solve_dtype is not None and solve_dtype != R.re.dtype
+    R_s = R.astype(solve_dtype) if mixed else R
+    fdt = X.re.dtype
+    temps = [_solve_one(LU, perm, dinv, R_s, out_dtype=fdt)
+             for LU, perm, dinv in facts]
+    if mixed:
+        for _ in range(refine):
+            resid = _ir_resid_split(A, B, cx.stack(temps), z, R)
+            temps = [_solve_corr_one(LU, perm, dinv, ri, ti, solve_dtype)
+                     for (LU, perm, dinv), ri, ti in zip(facts, resid,
+                                                         temps)]
+    return _accum_update(X, cx.stack(temps), z, w, lam)
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "params"))
+def _ritz_recover(Qo: CX, A: CX, B, lam: CX, Xq: CX, kind: str, params):
+    """Ritz pairs + residuals from a reduced eig (hostloop-mode part 2)."""
+    X = cx.normalize_cols(cx.cmatmul(Qo, Xq))
+    AX = cx.cmatmul(A, X)
+    BX = X if B is None else cx.cmatmul(B, X)
+    R = AX - cx.scale_cols(BX, lam)
+    return lam, X, R, cx.col_norms(R), _in_mask(lam, kind, params)
+
+
+@functools.partial(jax.jit, static_argnames=("ortho", "pencil", "kind",
+                                             "params"))
+def _rr_full(Q: CX, A: CX, B, ortho: str, pencil: str, kind: str, params):
+    """Orthonormalize + on-device RR (hostloop mode, rr="device")."""
+    Qo = qrmod.orthonormalize(Q, method=ortho)
+    lam, X, R, res = _rayleigh_ritz(Qo, A, B, pencil)
+    return lam, X, R, res, _in_mask(lam, kind, params)
+
+
 def _rayleigh_ritz(Q: CX, A: CX, B: Optional[CX], pencil: str = "lu"):
     """Orthonormalized Rayleigh-Ritz: returns (lam, X, R, res).
 
@@ -481,6 +588,7 @@ def feast(A, X0, contour: Optional[ct.Contour] = None, *,
           mixed_prec: bool = False, ortho: str = "cholqr2",
           block: int = 64, debug: bool = False, mesh=None, rr: str = "device",
           hermitian: bool = False, node_scan: Optional[bool] = None,
+          node_loop: Optional[bool] = None,
           callback: Optional[Callable] = None) -> FeastResult:
     """Standard linear FEAST: eigenpairs of A inside the contour.
 
@@ -495,10 +603,16 @@ def feast(A, X0, contour: Optional[ct.Contour] = None, *,
     rr: "device" (default, fully on-device Schur eig) or "host" (m0 x m0
     reduced eig on host LAPACK — cuts dispatch latency on remote-TPU links;
     all O(n^2)+ work stays on device).
+
+    node_loop: host-composed per-node pipeline (auto-on when the stacked
+    factor store would pass ~6 GB — see `_factor_hostloop`): factors live
+    as separate per-node device buffers and each sweep composes per-node
+    jitted solves, so no (nodes, n, n) tensor ever exists for XLA to
+    stage.  Required for n >= 8192 with 8+ nodes on a 16 GB chip.
     """
     return _drive(A, None, X0, contour, c, r, nodes, iters, tol, store,
                   mixed_prec, ortho, block, debug, callback, mesh, rr,
-                  "hermitian" if hermitian else "lu", node_scan)
+                  "hermitian" if hermitian else "lu", node_scan, node_loop)
 
 
 def gen_feast(A, B, X0, contour: Optional[ct.Contour] = None, *,
@@ -508,17 +622,19 @@ def gen_feast(A, B, X0, contour: Optional[ct.Contour] = None, *,
               block: int = 64, debug: bool = False, mesh=None,
               rr: str = "device", pencil: str = "lu",
               node_scan: Optional[bool] = None,
+              node_loop: Optional[bool] = None,
               callback: Optional[Callable] = None) -> FeastResult:
     """Generalized linear FEAST: A x = lam B x inside the contour
     (gen_feast!, feast.jl:82-156).
 
     pencil: "lu" (default), "qz" (robust full QZ), or "hermitian"
-    (A Hermitian, B Hermitian positive-definite: native-eigh fast path)."""
+    (A Hermitian, B Hermitian positive-definite: native-eigh fast path).
+    node_loop: see `feast` (host-composed per-node pipeline at large n)."""
     if B is None:
         raise ValueError("gen_feast requires B; use feast() for B=I")
     return _drive(A, B, X0, contour, c, r, nodes, iters, tol, store,
                   mixed_prec, ortho, block, debug, callback, mesh, rr,
-                  pencil, node_scan)
+                  pencil, node_scan, node_loop)
 
 
 def _node_scan_auto(n: int, n_nodes: int) -> bool:
@@ -529,19 +645,43 @@ def _node_scan_auto(n: int, n_nodes: int) -> bool:
     return 2 * n_nodes * n * n * 8 > 2_000_000_000
 
 
+def _node_loop_auto(n: int, n_nodes: int, solve_f32: bool) -> bool:
+    """Auto-select the host-composed per-node pipeline: once the stacked
+    factor store passes ~6 GB, XLA's staging copy of the stack (measured:
+    a (nodes, n, n) HLO temp + ~56% fragmentation, see _factor_hostloop)
+    OOMs a 16 GB chip even in scan mode — separate per-node buffers are
+    the only layout that fits."""
+    return 2 * n_nodes * n * n * (4 if solve_f32 else 8) > 6_000_000_000
+
+
 def _drive(A, B, X0, contour, c, r, nodes, iters, tol, store,
            mixed_prec, ortho, block, debug, callback, mesh=None,
            rr: str = "device", pencil: str = "lu",
-           node_scan: Optional[bool] = None) -> FeastResult:
+           node_scan: Optional[bool] = None,
+           node_loop: Optional[bool] = None) -> FeastResult:
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     A, B, Q, contour, z, w = _prepare(A, B, X0, contour, c, r, nodes, dtype)
     solve_f32 = bool(mixed_prec)
-    if node_scan is None:
+    if node_loop is None:
+        node_loop = mesh is None and _node_loop_auto(
+            A.shape[0], z.shape[0], solve_f32)
+    if mesh is not None:
+        node_loop = False
+    if node_loop:
+        node_scan = False
+    elif node_scan is None:
         node_scan = mesh is None and _node_scan_auto(A.shape[0], z.shape[0])
     if mesh is not None:
         node_scan = False  # node axis must stay vmapped to shard over devices
     dinvb = None
-    if node_scan:
+    facts = None
+    if node_loop:
+        LUb = CX(jnp.zeros((0,)), jnp.zeros((0,)))
+        permb = jnp.zeros((0,), jnp.int32)
+        Sb_pass = CX(jnp.zeros((0,)), jnp.zeros((0,)))
+        if store:
+            facts = _factor_hostloop(A, B, z, solve_f32)
+    elif node_scan:
         # large-n path: never materialize the (nodes, n, n) batch
         Sb_pass = CX(jnp.zeros((0,)), jnp.zeros((0,)))
         if store:
@@ -577,7 +717,20 @@ def _drive(A, B, X0, contour, c, r, nodes, iters, tol, store,
     converged = False
     for nit in range(iters + 1):
         n_iter = nit
-        if rr == "host":
+        if node_loop:
+            # host-composed: RR first, node update only if not converged
+            # (the per-node update is a separate phase here, so the final
+            # sweep's dead solve pass is skipped for free)
+            if rr == "host":
+                Qo, Aq, Bq = _step_pre(Q, A, B, ortho)
+                lam_h, Xq_h = _host_eig(Aq, Bq, pencil)
+                lam, X, R, res, inside = _ritz_recover(
+                    Qo, A, B, lam_h, Xq_h, contour.kind, contour.params)
+            else:
+                lam, X, R, res, inside = _rr_full(
+                    Q, A, B, ortho, pencil, contour.kind, contour.params)
+            Qn = None
+        elif rr == "host":
             Qo, Aq, Bq = _step_pre(Q, A, B, ortho)
             lam_h, Xq_h = _host_eig(Aq, Bq, pencil)
             if not store:
@@ -607,6 +760,12 @@ def _drive(A, B, X0, contour, c, r, nodes, iters, tol, store,
             if debug:
                 print(f"converged in {nit} iterations")
             break
+        if node_loop:
+            if not store:
+                facts = _factor_hostloop(A, B, z, solve_f32)
+            Qn = _node_update_hostloop(
+                facts, z, w, X, R, lam,
+                jnp.float32 if solve_f32 else None, A, B)
         Q = Qn  # reference skips the final-update too (feast.jl:58)
     if not np.asarray(inside).any():
         print("no eigenvalues found in contour!")

@@ -305,6 +305,39 @@ def test_node_scan_matches_vmap(diag25):
                 assert res.max() < 1e-9
 
 
+def test_node_loop_matches_scan(diag25):
+    """Host-composed per-node pipeline (node_loop — the n >= 8192 memory
+    path: factors as SEPARATE device buffers, no (nodes, n, n) stack for
+    XLA to stage) must agree with node_scan across store/mixed_prec/rr."""
+    A, X0 = diag25
+    ref = feast(A, X0, c=1.5 + 0j, r=2.0, nodes=8, node_scan=True)
+    lam_ref = np.sort(ref.filtered()[0].real)
+    for store, mp, rr in ((True, True, "host"), (True, False, "device"),
+                          (False, True, "device")):
+        r = feast(A, X0, c=1.5 + 0j, r=2.0, nodes=8, iters=15,
+                  node_loop=True, store=store, mixed_prec=mp, rr=rr)
+        lam, _, res = r.filtered()
+        np.testing.assert_allclose(np.sort(lam.real), lam_ref, atol=1e-9)
+        assert res.max() < 1e-9
+
+
+def test_node_loop_generalized():
+    rng = np.random.default_rng(3)
+    n, m0 = 60, 10
+    A = np.diag(np.arange(1.0, n + 1.0)).astype(np.complex128)
+    A += 0.02 * (rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n)))
+    B = np.eye(n) + 0.1 * np.diag(np.ones(n - 1), 1) + 0.1 * np.diag(np.ones(n - 1), -1)
+    B = B.astype(np.complex128)
+    X0 = _x0(rng, n, m0)
+    r1 = gen_feast(A, B, X0, c=4.0 + 0j, r=2.5, nodes=8, node_loop=True,
+                   mixed_prec=True, tol=1e-10, iters=15)
+    r2 = gen_feast(A, B, X0, c=4.0 + 0j, r=2.5, nodes=8, node_scan=True,
+                   tol=1e-10, iters=15)
+    assert r1.converged and r2.converged
+    np.testing.assert_allclose(np.sort(r1.filtered()[0].real),
+                               np.sort(r2.filtered()[0].real), atol=1e-8)
+
+
 def test_node_scan_generalized():
     rng = np.random.default_rng(3)
     n, m0 = 60, 10
