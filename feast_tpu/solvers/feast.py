@@ -679,6 +679,22 @@ def _drive(A, B, X0, contour, c, r, nodes, iters, tol, store,
         LUb = CX(jnp.zeros((0,)), jnp.zeros((0,)))
         permb = jnp.zeros((0,), jnp.int32)
         Sb_pass = CX(jnp.zeros((0,)), jnp.zeros((0,)))
+        # even as separate buffers, the factor store + diag-inverses +
+        # A + per-sweep working set must leave runtime headroom: measured
+        # on the 16 GB chip, 16 nodes x n=8192 f32 (8.6G store + 1.07G
+        # dinv + 1.07G A) exhausts HBM mid-sweep.  Degrade to per-sweep
+        # refactoring (store=False) with a loud warning instead of dying.
+        nbytes = A.shape[0] * A.shape[0] * (4 if solve_f32 else 8)
+        store_bytes = int(z.shape[0]) * nbytes * 2  # re+im
+        if store and store_bytes > 9_000_000_000:
+            import warnings
+
+            warnings.warn(
+                f"feast(node_loop): factor store would need "
+                f"{store_bytes / 1e9:.1f} GB — refactoring per sweep "
+                f"instead (store=False).  Use fewer nodes for a resident "
+                f"store at this n.", RuntimeWarning, stacklevel=3)
+            store = False
         if store:
             facts = _factor_hostloop(A, B, z, solve_f32)
     elif node_scan:
