@@ -1089,6 +1089,17 @@ def feast_compiled(A, X0, contour: Optional[ct.Contour] = None, *,
         pencil = "hermitian"
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     A, B, Q, contour, z, w = _prepare(A, B, X0, contour, c, r, nodes, dtype)
+    if _node_loop_auto(A.shape[0], z.shape[0], bool(mixed_prec)):
+        # fail FAST (a doomed n=8192 compile costs ~9 min through the
+        # remote tunnel before XLA's OOM): the single-jit loop stages a
+        # (nodes, n, n) copy of the factor store that cannot fit — see
+        # _factor_hostloop.  The pyloop driver handles this size.
+        raise ValueError(
+            f"feast_compiled: the factor store for n={A.shape[0]} x "
+            f"{z.shape[0]} nodes exceeds single-jit HBM limits (XLA "
+            f"stages a full copy of the stacked store inside the "
+            f"compiled loop).  Use feast()/gen_feast() — their "
+            f"node_loop mode auto-engages at this size.")
     if node_scan is None:
         node_scan = mesh is None and _node_scan_auto(A.shape[0], z.shape[0])
     if mesh is not None:
