@@ -417,6 +417,8 @@ def main():
                       ("dense8192_recorded", "dense8192.json"),
                       ("gun9956_recorded", "gun9956.json"),
                       ("spmm_unstructured_recorded", "bell_tune.json"),
+                      ("unstructured100k_feast_recorded",
+                       "unstructured100k.json"),
                       ("scaling_recorded", "scaling.json")):
         rec = _recorded(name)
         if rec is not None:
