@@ -239,13 +239,13 @@ def build_amg(A, B=None, *, theta: float = 0.08, omega: float = 2.0 / 3.0,
                cx.from_numpy(Bc, dtype))
 
 
-def _pair_ops(Au, Bu, dtype, dia_fill: float = 0.45,
-              bell_bs: int = 16, bell_max_fill: float = 32.0):
+def _pair_ops(Au, Bu, dtype, dia_fill: float = 0.45):
     """Build the (A, B) union-pattern operator pair — DIA when the union
-    pattern is banded densely enough, BELL for unstructured patterns whose
-    block fill is acceptable, else CSR.  Both must share one structure so
-    S(z) combines their data arrays elementwise."""
-    from .sparse import BELL, CSR, DIA, bell_fill
+    pattern is banded densely enough, BELL for unstructured patterns (block
+    size from sparse.bell_pick_bs's measured cost model), else CSR.  Both
+    must share one structure so S(z) combines their data arrays
+    elementwise."""
+    from .sparse import BELL, CSR, DIA, bell_pick_bs
 
     coo = Au.tocoo()  # Au/Bu share the stored pattern (union construction)
     offs = np.unique(coo.col.astype(np.int64) - coo.row.astype(np.int64))
@@ -269,19 +269,21 @@ def _pair_ops(Au, Bu, dtype, dia_fill: float = 0.45,
                        op.shape)
 
         return on(offs, A_op), on(offs, B_op)
-    if bell_fill(Au, bell_bs) <= bell_max_fill:
-        return BELL.pair_from_scipy(Au, Bu, bell_bs, dtype)
+    bs = bell_pick_bs(Au, dtype)
+    if bs is not None:
+        return BELL.pair_from_scipy(Au, Bu, bs, dtype)
     return CSR.from_scipy(Au, dtype), CSR.from_scipy(Bu, dtype)
 
 
-def _csr_op(M, dtype, bell_bs: int = 16, bell_max_fill: float = 32.0):
-    """Single-operator builder for P/R: BELL when the aggregation map's
-    block fill is acceptable (it inherits A's locality after reordering),
-    else CSR."""
-    from .sparse import BELL, CSR, bell_fill
+def _csr_op(M, dtype):
+    """Single-operator builder for P/R: BELL when the cost model prefers it
+    (the aggregation map inherits A's locality after reordering), else
+    CSR."""
+    from .sparse import BELL, CSR, bell_pick_bs
 
-    if bell_fill(M, bell_bs) <= bell_max_fill:
-        return BELL.from_scipy(M, bell_bs, dtype)
+    bs = bell_pick_bs(M, dtype)
+    if bs is not None:
+        return BELL.from_scipy(M, bs, dtype)
     return CSR.from_scipy(M, dtype)
 
 

@@ -433,18 +433,60 @@ def bell_fill(A, bs: int = 16) -> float:
     return nbr * kmax * bs * bs / max(A.nnz, 1)
 
 
+# Measured SpMM cost model (real chip, benchmarks/results/bell_tune.json:
+# 200k-dof P1 FEM after RCM, m=16 block vectors).  BELL wall per matvec fits
+# nblocks * (T0 + T1*bs) across bs=8/32/64 (81/163/227 ns per block); CSR's
+# gather+segment_sum runs at ~34 ns per nnz.  Larger blocks keep WINNING as
+# fill grows (fewer, fatter gathers fuse into the batched GEMM) until the
+# stored dense blocks bust HBM — so the block size is chosen by this model
+# under a byte cap, never by a fill cutoff (a fill cutoff at bs=16 sent the
+# 100k unstructured FEM pencil to the 200x-off-roofline CSR path, r3).
+_BELL_T0 = 60e-9
+_BELL_T1 = 2.6e-9
+_CSR_T_NNZ = 34e-9
+_BELL_CANDIDATE_BS = (8, 16, 32, 64)
+
+
+def bell_pick_bs(A, dtype=None, max_bytes: float = 1.0e9):
+    """Block size BELL should use for this pattern — the candidate from the
+    measured cost model above whose stored CX pair stays under `max_bytes` —
+    or None when CSR's modeled wall beats every admissible candidate
+    (degenerate patterns: near-dense rows, random point sparsity where every
+    nnz lands in its own block)."""
+    import scipy.sparse as sp
+
+    A = sp.csr_matrix(A)
+    nnz = max(A.nnz, 1)
+    f64 = (dtype is None and jax.config.jax_enable_x64) or (
+        dtype is not None and jnp.dtype(dtype).itemsize == 8)
+    bytes_per_entry = 16 if f64 else 8  # re+im pair
+    best, best_cost = None, _CSR_T_NNZ * nnz
+    for bs in _BELL_CANDIDATE_BS:
+        stored = bell_fill(A, bs) * nnz
+        if stored * bytes_per_entry > max_bytes:
+            continue
+        cost = stored / (bs * bs) * (_BELL_T0 + _BELL_T1 * bs)
+        if cost < best_cost:
+            best, best_cost = bs, cost
+    return best
+
+
 def as_operator(A, dtype=None, dia_fill: float = 0.45,
-                bell_bs: int = 16, bell_max_fill: float = 32.0):
+                bell_bs=None, bell_max_fill: float = 32.0,
+                bell_max_bytes: float = 1.0e9):
     """Coerce scipy-sparse/dense/CX/CSR/DIA/BELL to the best device operator.
 
-    Selection (measured hierarchy, benchmarks/results/spmm_bandwidth.json):
+    Selection (measured hierarchy, benchmarks/results/spmm_bandwidth.json +
+    bell_tune.json):
       1. DIA when the matrix is banded with reasonably dense diagonals
          (stored DIA entries <= nnz / dia_fill) — shifted-slice SpMM at
          ~85% of the stream roofline;
-      2. BELL (blocked-ELL) for everything else whose block fill at
-         `bell_bs` stays under `bell_max_fill` — block gathers + batched
-         GEMM, the unstructured-pattern path (pair with
-         ops.reorder.rcm_permutation to cluster the blocks first);
+      2. BELL (blocked-ELL) for everything else, block size from the
+         measured per-block cost model (`bell_pick_bs`) under the
+         `bell_max_bytes` stored-pair cap — block gathers + batched GEMM,
+         the unstructured-pattern path (pair with
+         ops.reorder.rcm_permutation to cluster the blocks first).  Pass
+         `bell_bs` to pin the block size (then `bell_max_fill` guards it);
       3. CSR as the last resort (gather+segment_sum, ~200x off roofline —
          correctness fallback only)."""
     if A is None or isinstance(A, (CX, CSR, DIA, BELL)):
@@ -457,8 +499,13 @@ def as_operator(A, dtype=None, dia_fill: float = 0.45,
     offs = np.unique(Ac.tocoo().col - Ac.tocoo().row)
     if len(offs) * Ac.shape[0] * dia_fill <= Ac.nnz:
         return DIA.from_scipy(Ac, dtype)
-    if bell_fill(Ac, bell_bs) <= bell_max_fill:
-        return BELL.from_scipy(Ac, bell_bs, dtype)
+    if bell_bs is not None:
+        if bell_fill(Ac, bell_bs) <= bell_max_fill:
+            return BELL.from_scipy(Ac, bell_bs, dtype)
+        return CSR.from_scipy(Ac, dtype)
+    bs = bell_pick_bs(Ac, dtype, bell_max_bytes)
+    if bs is not None:
+        return BELL.from_scipy(Ac, bs, dtype)
     return CSR.from_scipy(Ac, dtype)
 
 
