@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--tol", type=float, default=1e-10)
     ap.add_argument("--solve-iters", type=int, default=200)
     ap.add_argument("--sweeps", type=int, default=10)
+    ap.add_argument("--node-chunk", type=int, default=1,
+                    help="nodes per compiled solve chunk (1 bounds the "
+                         "per-sweep HBM peak like sparse1m); 0 = all nodes")
+    ap.add_argument("--amg-f64", action="store_true",
+                    help="keep the V-cycle in emulated f64 (default f32)")
     ap.add_argument("--inline", action="store_true",
                     help="run feast_iterative in-process instead of the "
                          "checkpointed subprocess driver")
@@ -80,12 +85,18 @@ def main():
                   precondition="amg", solver="bicgstab_rr",
                   solve_tol=1e-9, solve_iters=args.solve_iters,
                   reorder="auto", debug=True)
+    if args.node_chunk:
+        common["node_chunk"] = args.node_chunk
 
     t0 = time.perf_counter()
     if args.inline:
+        import jax.numpy as jnp
+
         from feast_tpu.solvers.ifeast import feast_iterative
 
-        out = feast_iterative(K, M, X0, iters=args.sweeps, **common)
+        amg_opts = None if args.amg_f64 else {"dtype": jnp.float32}
+        out = feast_iterative(K, M, X0, iters=args.sweeps,
+                              amg_opts=amg_opts, **common)
         lam = np.asarray(out.lam.re) + 1j * np.asarray(out.lam.im)
         res = np.asarray(out.res)
         keep = np.asarray(out.inside) & (res <= args.tol * 100)
@@ -99,7 +110,8 @@ def main():
         ck = os.path.join(_HERE, "results", "_ckpt_unstructured100k")
         out = feast_iterative_checkpointed(
             K, M, X0, checkpoint_dir=ck, max_sweeps=args.sweeps,
-            resume=False, platform="cpu" if args.cpu else None, **common)
+            resume=False, amg_f32=not args.amg_f64,
+            platform="cpu" if args.cpu else None, **common)
         lam = np.asarray(out.lam.re) + 1j * np.asarray(out.lam.im)
         res = np.asarray(out.res)
         inside = np.asarray(out.inside)

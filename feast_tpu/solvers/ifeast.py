@@ -285,6 +285,27 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
     amg_apply = {k: v for k, v in (amg_opts or {}).items()
                  if k in _amg_apply_keys}
 
+    # A node-vmapped AMG V-cycle materializes PER-NODE shifted copies of
+    # every level's stored data (S_l = A_l - z_i B_l) inside one jit, plus
+    # einsum temporaries of comparable footprint — 8 nodes x a ~1GB BELL
+    # level store OOMs a 16GB chip AT COMPILE (measured r3: 100k
+    # unstructured FEM pencil, f32[8,8,3125,19,32,32] broadcast = 62GB).
+    # Auto-chunk the node sweep when the estimated vmapped store exceeds
+    # the runtime headroom — the node_chunk analog of dense feast's
+    # node_loop degrade.
+    if precondition == "amg" and node_chunk is None and mesh is None:
+        apply_dt = amg_apply.get("dtype", dtype)
+        s_entries, _ = amgmod.hierarchy_nnz(amg_hier)
+        per_node = 2 * sum(s_entries) * jnp.dtype(apply_dt).itemsize * 2.5
+        budget = 8e9
+        if N * per_node > budget:
+            fit = [k for k in range(1, N + 1)
+                   if N % k == 0 and k * per_node <= budget]
+            node_chunk = max(fit) if fit else 1
+            print(f"feast_iterative: node-vmapped AMG store ~"
+                  f"{N * per_node / 1e9:.1f} GB exceeds HBM headroom; "
+                  f"auto node_chunk={node_chunk}")
+
     def _rr_body(Q, A, B):
         Qo = qrmod.orthonormalize(Q, method=ortho)
         AQ = _apply(A, Qo)

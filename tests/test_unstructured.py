@@ -64,6 +64,26 @@ def test_as_operator_prefers_bell_for_unstructured():
                                Kp @ X, atol=1e-11)
 
 
+def test_bell_pick_bs_cost_model():
+    # An RCM-clustered FEM pattern must pick a LARGE block size (the
+    # measured hierarchy: bs=32/64 beat bs=8 end-to-end, bell_tune.json) —
+    # the r3 regression was a fixed bs=16 fill cutoff dropping this very
+    # matrix class to the 200x-off-roofline CSR path.
+    K, _, _ = problems.fem2d_unstructured(2000, seed=7)
+    perm = rd.rcm_permutation(K)
+    Kp = K[perm][:, perm].tocsr()
+    bs = spmod.bell_pick_bs(Kp)
+    assert bs is not None and bs >= 32, bs
+    # the byte cap is respected: a tiny cap forces a smaller block or CSR
+    small = spmod.bell_pick_bs(Kp, max_bytes=spmod.bell_fill(Kp, 8)
+                               * Kp.nnz * 16 + 1)
+    assert small in (None, 8), small
+    # random point sparsity (every nnz its own block): cost model must NOT
+    # inflate blocks — CSR or the smallest block size only
+    R = _rand_sparse(4000, 4000, 2e-4, 11)
+    assert spmod.bell_pick_bs(R) in (None, 8)
+
+
 def test_plan_reorder_recovers_band():
     n = 3000
     lap = problems.laplacian_1d(n, sparse=True)
