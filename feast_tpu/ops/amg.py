@@ -269,7 +269,9 @@ def _pair_ops(Au, Bu, dtype, dia_fill: float = 0.45):
                        op.shape)
 
         return on(offs, A_op), on(offs, B_op)
-    bs = bell_pick_bs(Au, dtype)
+    # the level stores BOTH A and B on the shared pattern, so halve the
+    # stored-bytes cap the picker models for one operator (ADVICE r3)
+    bs = bell_pick_bs(Au, dtype, max_bytes=0.5e9)
     if bs is not None:
         return BELL.pair_from_scipy(Au, Bu, bs, dtype)
     return CSR.from_scipy(Au, dtype), CSR.from_scipy(Bu, dtype)

@@ -168,31 +168,53 @@ def feast_iterative_checkpointed(
         env.update({k: str(v) for k, v in worker_env.items()})
 
     t0 = time.perf_counter()
+    _log(checkpoint_dir, {"event": "run_start"})
     restarts = 0
+    last_failure = None  # (rc, tail) of the previous no-progress failure
     sweeps = _read_sweeps(state_path)
     converged = sweeps_converged(state_path)
     while not converged and sweeps < max_sweeps:
         cmd = [sys.executable, "-m", "feast_tpu.orchestrate", checkpoint_dir]
+        # Worker output ALWAYS lands in worker.log (overwritten per attempt)
+        # so a crash leaves its stderr on disk — 11 blind rc=1 retries in r3
+        # burned 40 min of chip time with zero recorded diagnosis.
+        worker_log = os.path.join(checkpoint_dir, "worker.log")
         try:
-            p = subprocess.run(cmd, env=env, timeout=worker_timeout,
-                               capture_output=not verbose)
+            with open(worker_log, "w") as lf:
+                p = subprocess.run(cmd, env=env, timeout=worker_timeout,
+                                   stdout=lf, stderr=subprocess.STDOUT)
             rc = p.returncode
         except subprocess.TimeoutExpired:
             rc = "timeout"
         new_sweeps = _read_sweeps(state_path)
         if rc != 0 and new_sweeps == sweeps:
             restarts += 1
+            tail = _tail_lines(worker_log, 20)
             _log(checkpoint_dir, {"event": "worker_restart", "rc": str(rc),
-                                  "restarts": restarts})
+                                  "restarts": restarts,
+                                  "stderr_tail": tail})
             if verbose:
                 print(f"[orchestrate] worker died (rc={rc}); restart "
-                      f"{restarts}/{max_restarts} from sweep {sweeps}",
+                      f"{restarts}/{max_restarts} from sweep {sweeps}\n"
+                      + "\n".join("  | " + t for t in tail[-5:]),
                       flush=True)
+            # deterministic-failure early abort: the same rc with the same
+            # last error line and zero progress twice in a row is a
+            # repeating failure (compile OOM, import error, bad config) —
+            # retrying max_restarts times cannot help
+            sig = (str(rc), tail[-1] if tail else "")
+            if last_failure == sig:
+                raise RuntimeError(
+                    f"worker failed twice identically without progress "
+                    f"(rc={rc}, last line: {sig[1]!r}); aborting early — "
+                    f"see {worker_log}")
+            last_failure = sig
             if restarts > max_restarts:
                 raise RuntimeError(
                     f"worker failed {restarts} times without progress "
                     f"(last rc={rc}); see {checkpoint_dir}/{_LOG}")
             continue
+        last_failure = None
         sweeps = new_sweeps
         converged = sweeps_converged(state_path)
         if verbose:
@@ -213,6 +235,35 @@ def feast_iterative_checkpointed(
                           "sweeps": n_sweeps, "restarts": restarts,
                           "wall_s": round(time.perf_counter() - t0, 2)})
     return FeastResult(lam, X, res, inside, n_sweeps, conv, Q)
+
+
+def _tail_lines(path, k=20):
+    """Last k non-empty lines of a worker log (for forensics events)."""
+    try:
+        with open(path, "r", errors="replace") as f:
+            lines = [ln.rstrip() for ln in f.readlines() if ln.strip()]
+        return lines[-k:]
+    except OSError:
+        return []
+
+
+def read_restarts(checkpoint_dir) -> int:
+    """worker_restart events since the most recent run_start log event."""
+    n = 0
+    try:
+        with open(os.path.join(checkpoint_dir, _LOG)) as f:
+            for ln in f:
+                try:
+                    ev = json.loads(ln).get("event")
+                except json.JSONDecodeError:
+                    continue
+                if ev == "run_start":
+                    n = 0
+                elif ev == "worker_restart":
+                    n += 1
+    except OSError:
+        pass
+    return n
 
 
 def _read_sweeps(state_path) -> int:

@@ -293,18 +293,27 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
     # Auto-chunk the node sweep when the estimated vmapped store exceeds
     # the runtime headroom — the node_chunk analog of dense feast's
     # node_loop degrade.
-    if precondition == "amg" and node_chunk is None and mesh is None:
+    on_cpu = jax.devices()[0].platform == "cpu"
+    if precondition == "amg" and node_chunk is None and mesh is None \
+            and not on_cpu:
         apply_dt = amg_apply.get("dtype", dtype)
         s_entries, _ = amgmod.hierarchy_nnz(amg_hier)
-        per_node = 2 * sum(s_entries) * jnp.dtype(apply_dt).itemsize * 2.5
+        # Calibrated to the MEASURED r3 failure, not the raw store: the
+        # f32[8,8,3125,19,32,32] broadcast XLA staged for the 8-node vmap
+        # was ~16x the naive 2*sum(entries)*itemsize store (extra leading
+        # axis + scheduler temps), i.e. ~7.8 GB per node on the 100k
+        # unstructured FEM.  The old 2.5x fudge picked node_chunk=4 there
+        # and would still have compile-OOMed (ADVICE r3).
+        per_node = 2 * sum(s_entries) * jnp.dtype(apply_dt).itemsize * 16.0
         budget = 8e9
         if N * per_node > budget:
             fit = [k for k in range(1, N + 1)
                    if N % k == 0 and k * per_node <= budget]
             node_chunk = max(fit) if fit else 1
-            print(f"feast_iterative: node-vmapped AMG store ~"
-                  f"{N * per_node / 1e9:.1f} GB exceeds HBM headroom; "
-                  f"auto node_chunk={node_chunk}")
+            if debug:
+                print(f"feast_iterative: node-vmapped AMG store ~"
+                      f"{N * per_node / 1e9:.1f} GB exceeds HBM headroom; "
+                      f"auto node_chunk={node_chunk}")
 
     def _rr_body(Q, A, B):
         Qo = qrmod.orthonormalize(Q, method=ortho)

@@ -73,6 +73,29 @@ def test_checkpointed_survives_killed_worker(tmp_path):
     assert "worker_restart" in events
 
 
+def test_deterministic_failure_aborts_early_with_forensics(tmp_path):
+    """A worker that dies the same way twice with zero progress must abort
+    after exactly 2 attempts (not max_restarts), and each worker_restart
+    event must carry the worker's stderr tail (r3 burned 11 blind retries
+    with no recorded diagnosis)."""
+    A, X0, c, r, _ = _slice_problem(100)
+    with pytest.raises(RuntimeError, match="failed twice identically"):
+        feast_iterative_checkpointed(
+            builder="feast_tpu.orchestrate_testutil:build_broken",
+            X0=X0, c=c, checkpoint_dir=str(tmp_path / "ck"),
+            max_sweeps=5, max_restarts=10, platform="cpu", verbose=False,
+            r=r, nodes=4, tol=1e-8)
+    with open(tmp_path / "ck" / "log.jsonl") as f:
+        events = [json.loads(l) for l in f]
+    restarts = [e for e in events if e["event"] == "worker_restart"]
+    assert len(restarts) == 2  # early abort, not max_restarts=10
+    for e in restarts:
+        tail = "\n".join(e["stderr_tail"])
+        assert "injected deterministic builder failure" in tail
+    from feast_tpu.orchestrate import read_restarts
+    assert read_restarts(str(tmp_path / "ck")) == 2
+
+
 @pytest.mark.slow
 def test_checkpointed_resume_and_builder(tmp_path):
     """resume=True continues from state.npz; builder= delivers the problem
