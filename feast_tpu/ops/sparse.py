@@ -263,8 +263,16 @@ class BELL:
     SparseMatrixCSC" generality (test/generalized_feast.jl:7-24): the
     iterative solvers see any sparsity pattern at usable bandwidth.
 
-    Layout: data (nbr, kmax, bs, bs) CX, colb (nbr, kmax) int32 block-
-    column ids; `shape` is the LOGICAL shape (pre-padding)."""
+    Layout: data (nbr, bs, kmax*bs) CX with data[r, a, k*bs + b] =
+    block(r, k)[a, b]; colb (nbr, kmax) int32 block-column ids; `shape` is
+    the LOGICAL shape (pre-padding).  The k and b axes are MERGED into the
+    minor dimension on purpose: the TPU tiles the last two dims to (8, 128),
+    so the earlier (nbr, kmax, bs, bs) layout paid a 128/bs minor-dim
+    padding factor in HBM — measured 4.0x at bs=32 on the 100k unstructured
+    FEM pencil, which compile-OOMed the f64 (A, B) pair at 58 GB on a
+    16 GB chip (r4 worker forensics).  With kmax*bs minor the padding is
+    ceil(kmax*bs/128)*128 / (kmax*bs) ~ 1x, and the matvec contraction is
+    one batched (nbr, bs, K) x (nbr, K, m) GEMM, K = kmax*bs."""
 
     def __init__(self, data: CX, colb, shape):
         self.data = data
@@ -280,17 +288,17 @@ class BELL:
 
     @property
     def bs(self):
-        return self.data.re.shape[2]
+        return self.data.re.shape[1]
 
     @property
     def kmax(self):
-        return self.data.re.shape[1]
+        return self.data.re.shape[2] // self.data.re.shape[1]
 
     @property
     def nnz(self):
         # stored entries (blocks are dense in this format), like DIA.nnz
         d = self.data.re.shape
-        return d[0] * d[1] * d[2] * d[3]
+        return d[0] * d[1] * d[2]
 
     @staticmethod
     def _structure(A, bs):
@@ -334,7 +342,8 @@ class BELL:
         colb, blk, ri, ci, vals, nbr, kmax = cls._structure(A, bs)
         data = np.zeros((nbr * kmax, bs, bs), dtype=np.complex128)
         data[blk, ri, ci] = vals
-        data = data.reshape(nbr, kmax, bs, bs)
+        data = (data.reshape(nbr, kmax, bs, bs).transpose(0, 2, 1, 3)
+                .reshape(nbr, bs, kmax * bs))
         return cls(cx.from_numpy(data, dtype), jnp.asarray(colb), A.shape)
 
     @classmethod
@@ -355,8 +364,9 @@ class BELL:
         for vals in (avals, Bu.tocoo().data):
             data = np.zeros((nbr * kmax, bs, bs), dtype=np.complex128)
             data[blk, ri, ci] = vals
-            out.append(cls(cx.from_numpy(data.reshape(nbr, kmax, bs, bs),
-                                         dtype), colb_j, Au.shape))
+            data = (data.reshape(nbr, kmax, bs, bs).transpose(0, 2, 1, 3)
+                    .reshape(nbr, bs, kmax * bs))
+            out.append(cls(cx.from_numpy(data, dtype), colb_j, Au.shape))
         return out[0], out[1]
 
     def matvec(self, X: CX) -> CX:
@@ -373,30 +383,44 @@ class BELL:
         that fusion and materializes G to HBM.  Hence the 3-D gather here."""
         n, mcols = self.shape
         bs = self.bs
+        kmax = self.kmax
         m = X.re.shape[1]
         ncb = -(-mcols // bs)
         pad = ncb * bs - mcols
         Xp = (CX(jnp.pad(X.re, ((0, pad), (0, 0))),
                  jnp.pad(X.im, ((0, pad), (0, 0)))) if pad else X)
         Xb = CX(Xp.re.reshape(ncb, bs, m), Xp.im.reshape(ncb, bs, m))
-        G = CX(Xb.re[self.colb], Xb.im[self.colb])  # (nbr, kmax, bs, m)
+        nbr = self.colb.shape[0]
+        # (nbr, kmax, bs, m) gather, then merge (k, b) into one contraction
+        # axis K = kmax*bs (a bitcast: the merge does not touch the tiled
+        # trailing dims) to match the (nbr, bs, K) data layout
+        G = CX(Xb.re[self.colb].reshape(nbr, kmax * bs, m),
+               Xb.im[self.colb].reshape(nbr, kmax * bs, m))
         hi = jax.lax.Precision.HIGHEST
         # 3-real-multiply complex GEMM (cx.cmatmul's Karatsuba form)
-        p1 = jnp.einsum("rkab,rkbm->ram", self.data.re, G.re, precision=hi)
-        p2 = jnp.einsum("rkab,rkbm->ram", self.data.im, G.im, precision=hi)
-        p3 = jnp.einsum("rkab,rkbm->ram", self.data.re + self.data.im,
+        p1 = jnp.einsum("rak,rkm->ram", self.data.re, G.re, precision=hi)
+        p2 = jnp.einsum("rak,rkm->ram", self.data.im, G.im, precision=hi)
+        p3 = jnp.einsum("rak,rkm->ram", self.data.re + self.data.im,
                         G.re + G.im, precision=hi)
-        nbr = self.colb.shape[0]
         Y = CX((p1 - p2).reshape(nbr * bs, m),
                (p3 - p1 - p2).reshape(nbr * bs, m))
         return CX(Y.re[:n], Y.im[:n])
+
+    def _blocks4(self):
+        """(nbr, kmax, bs, bs) logical-block view of the merged data."""
+        bs, kmax = self.bs, self.kmax
+        nbr = self.colb.shape[0]
+        re = self.data.re.reshape(nbr, bs, kmax, bs).transpose(0, 2, 1, 3)
+        im = self.data.im.reshape(nbr, bs, kmax, bs).transpose(0, 2, 1, 3)
+        return CX(re, im)
 
     def diagonal(self) -> CX:
         n = self.shape[0]
         bs = self.bs
         nbr = self.colb.shape[0]
         ii = jnp.arange(bs)
-        dblk = CX(self.data.re[:, :, ii, ii], self.data.im[:, :, ii, ii])
+        D4 = self._blocks4()
+        dblk = CX(D4.re[:, :, ii, ii], D4.im[:, :, ii, ii])  # (nbr, kmax, bs)
         on_diag = (self.colb == jnp.arange(nbr)[:, None])[..., None]
         d = CX(jnp.sum(jnp.where(on_diag, dblk.re, 0.0), axis=1),
                jnp.sum(jnp.where(on_diag, dblk.im, 0.0), axis=1))
@@ -410,8 +434,9 @@ class BELL:
         im = jnp.zeros_like(re)
         r = jnp.repeat(jnp.arange(nbr), kmax)
         c = self.colb.reshape(-1)
-        re = re.at[r, c].add(self.data.re.reshape(-1, bs, bs))
-        im = im.at[r, c].add(self.data.im.reshape(-1, bs, bs))
+        D4 = self._blocks4()
+        re = re.at[r, c].add(D4.re.reshape(-1, bs, bs))
+        im = im.at[r, c].add(D4.im.reshape(-1, bs, bs))
         re = re.transpose(0, 2, 1, 3).reshape(nbr * bs, ncb * bs)
         im = im.transpose(0, 2, 1, 3).reshape(nbr * bs, ncb * bs)
         return CX(re[:n, :m], im[:n, :m])
@@ -447,24 +472,42 @@ _CSR_T_NNZ = 34e-9
 _BELL_CANDIDATE_BS = (8, 16, 32, 64)
 
 
-def bell_pick_bs(A, dtype=None, max_bytes: float = 1.0e9):
-    """Block size BELL should use for this pattern — the candidate from the
-    measured cost model above whose stored CX pair stays under `max_bytes` —
-    or None when CSR's modeled wall beats every admissible candidate
-    (degenerate patterns: near-dense rows, random point sparsity where every
-    nnz lands in its own block)."""
+def bell_hbm_bytes(A, bs: int, dtype=None) -> int:
+    """Actual HBM footprint of one BELL operator at block size `bs`,
+    including the TPU (8, 128) tile padding of the (nbr, bs, kmax*bs) data
+    layout — the quantity the byte caps must model (r4: the unmodeled 4.0x
+    minor-dim padding of the old (.., bs, bs) layout compile-OOMed the 100k
+    unstructured run at 58 GB)."""
     import scipy.sparse as sp
 
     A = sp.csr_matrix(A)
     nnz = max(A.nnz, 1)
     f64 = (dtype is None and jax.config.jax_enable_x64) or (
         dtype is not None and jnp.dtype(dtype).itemsize == 8)
-    bytes_per_entry = 16 if f64 else 8  # re+im pair
+    bytes_per_entry = 16 if f64 else 8  # re+im pair (f64 = 2x f32 on TPU)
+    stored = bell_fill(A, bs) * nnz
+    kmax = stored / (bs * bs) / max(-(-A.shape[0] // bs), 1)
+    K = kmax * bs
+    pad = (-(-bs // 8) * 8 / bs) * (-(-K // 128) * 128 / max(K, 1))
+    return int(stored * bytes_per_entry * pad)
+
+
+def bell_pick_bs(A, dtype=None, max_bytes: float = 1.0e9):
+    """Block size BELL should use for this pattern — the candidate from the
+    measured cost model above whose stored CX pair (tile padding included,
+    see bell_hbm_bytes) stays under `max_bytes` — or None when CSR's
+    modeled wall beats every admissible candidate (degenerate patterns:
+    near-dense rows, random point sparsity where every nnz lands in its
+    own block)."""
+    import scipy.sparse as sp
+
+    A = sp.csr_matrix(A)
+    nnz = max(A.nnz, 1)
     best, best_cost = None, _CSR_T_NNZ * nnz
     for bs in _BELL_CANDIDATE_BS:
-        stored = bell_fill(A, bs) * nnz
-        if stored * bytes_per_entry > max_bytes:
+        if bell_hbm_bytes(A, bs, dtype) > max_bytes:
             continue
+        stored = bell_fill(A, bs) * nnz
         cost = stored / (bs * bs) * (_BELL_T0 + _BELL_T1 * bs)
         if cost < best_cost:
             best, best_cost = bs, cost

@@ -81,8 +81,9 @@ def _raw_matrix(A):
 
         bs, kmax = A.bs, A.kmax
         nbr = A.colb.shape[0]
+        # merged (nbr, bs, kmax*bs) layout -> logical (nbr, kmax, bs, bs)
         D = (np.asarray(A.data.re) + 1j * np.asarray(A.data.im)).reshape(
-            nbr, kmax, bs, bs)
+            nbr, bs, kmax, bs).transpose(0, 2, 1, 3)
         colb = np.asarray(A.colb)
         ri, ci = np.meshgrid(np.arange(bs), np.arange(bs), indexing="ij")
         rows = (np.arange(nbr)[:, None, None, None] * bs + ri)
