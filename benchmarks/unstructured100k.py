@@ -39,6 +39,16 @@ def main():
                          "heuristic")
     ap.add_argument("--amg-f64", action="store_true",
                     help="keep the V-cycle in emulated f64 (default f32)")
+    ap.add_argument("--interior", action="store_true",
+                    help="mid-spectrum slice (~45%% of lambda_max, index "
+                         "~n/2) instead of the lowest cluster — the "
+                         "strongly indefinite regime where the reference "
+                         "leans on UMFPACK's shift-agnostic sparse LU "
+                         "(test/gun2.jl:4-6); exercises SA-AMG off its "
+                         "comfort zone")
+    ap.add_argument("--damp", type=float, default=0.0,
+                    help="complex-shift damping of the AMG preconditioner "
+                         "(relative to |z|; see ifeast._make_M)")
     ap.add_argument("--inline", action="store_true",
                     help="run feast_iterative in-process instead of the "
                          "checkpointed subprocess driver")
@@ -68,16 +78,35 @@ def main():
     n = K.shape[0]
     build_s = time.perf_counter() - t0
 
-    # ground truth for the lowest modes (host shift-invert Lanczos)
+    # ground truth (host shift-invert Lanczos): lowest modes, or the modes
+    # nearest ~45% of lambda_max for the interior (indefinite) slice
     t0 = time.perf_counter()
-    exact = np.sort(spl.eigsh(K.real.tocsc(), k=args.m0, M=M.real.tocsc(),
-                              sigma=0, which="LM",
-                              return_eigenvectors=False))
+    if args.interior:
+        lmax = float(spl.eigsh(K.real.tocsc(), k=1, M=M.real.tocsc(),
+                               which="LA", return_eigenvectors=False)[0])
+        sigma = 0.45 * lmax
+        near = np.sort(spl.eigsh(K.real.tocsc(), k=args.m0 + 2,
+                                 M=M.real.tocsc(), sigma=sigma, which="LM",
+                                 return_eigenvectors=False))
+        k_in = 6
+        # the k_in values nearest sigma, with their flanking neighbors for
+        # the contour margin
+        i0 = int(np.argmin(np.abs(near - sigma)))
+        lo = min(max(i0 - k_in // 2, 1), len(near) - k_in - 1)
+        exact = near
+        sel = near[lo:lo + k_in]
+        c = (sel[0] + sel[-1]) / 2
+        gap = min(sel[0] - near[lo - 1], near[lo + k_in] - sel[-1])
+        r = (sel[-1] - sel[0]) / 2 + 0.4 * gap
+    else:
+        exact = np.sort(spl.eigsh(K.real.tocsc(), k=args.m0,
+                                  M=M.real.tocsc(), sigma=0, which="LM",
+                                  return_eigenvectors=False))
+        k_in = 6
+        c = (exact[0] + exact[k_in - 1]) / 2
+        r = ((exact[k_in - 1] - exact[0]) / 2
+             + 0.4 * (exact[k_in] - exact[k_in - 1]))
     exact_s = time.perf_counter() - t0
-    k_in = 6
-    c = (exact[0] + exact[k_in - 1]) / 2
-    r = ((exact[k_in - 1] - exact[0]) / 2
-         + 0.4 * (exact[k_in] - exact[k_in - 1]))
 
     rng = np.random.default_rng(3)
     X0 = rng.standard_normal((n, args.m0)) + 1j * rng.standard_normal(
@@ -87,6 +116,7 @@ def main():
                   precondition="amg", solver="bicgstab_rr",
                   solve_tol=1e-9, solve_iters=args.solve_iters,
                   reorder="auto", debug=True)
+    damp = {"damp": args.damp} if args.damp else {}
     if args.node_chunk == 0:
         common["node_chunk"] = args.nodes  # force single all-nodes chunk
     elif args.node_chunk > 0:
@@ -99,9 +129,10 @@ def main():
 
         from feast_tpu.solvers.ifeast import feast_iterative
 
-        amg_opts = None if args.amg_f64 else {"dtype": jnp.float32}
+        amg_opts = dict({} if args.amg_f64 else {"dtype": jnp.float32},
+                        **damp)
         out = feast_iterative(K, M, X0, iters=args.sweeps,
-                              amg_opts=amg_opts, **common)
+                              amg_opts=amg_opts or None, **common)
         lam = np.asarray(out.lam.re) + 1j * np.asarray(out.lam.im)
         res = np.asarray(out.res)
         keep = np.asarray(out.inside) & (res <= args.tol * 100)
@@ -112,10 +143,12 @@ def main():
     else:
         from feast_tpu.orchestrate import feast_iterative_checkpointed
 
-        ck = os.path.join(_HERE, "results", "_ckpt_unstructured100k")
+        ck = os.path.join(_HERE, "results",
+                          "_ckpt_unstructured100k"
+                          + ("_interior" if args.interior else ""))
         out = feast_iterative_checkpointed(
             K, M, X0, checkpoint_dir=ck, max_sweeps=args.sweeps,
-            resume=False, amg_f32=not args.amg_f64,
+            resume=False, amg_f32=not args.amg_f64, amg_damp=args.damp,
             platform="cpu" if args.cpu else None, **common)
         lam = np.asarray(out.lam.re) + 1j * np.asarray(out.lam.im)
         res = np.asarray(out.res)
@@ -139,6 +172,8 @@ def main():
     result = {
         "n": n, "nnz_K": int(K.nnz), "nnz_M": int(M.nnz),
         "m0": args.m0, "nodes": args.nodes, "tol": args.tol,
+        "slice": "interior" if args.interior else "lowest",
+        "c": float(np.real(c)), "r": float(r), "amg_damp": args.damp,
         "bandwidth_raw": rd.bandwidth(K),
         "build_s": round(build_s, 1), "exact_s": round(exact_s, 1),
         "solve_s": round(solve_s, 1), "sweeps": sweeps,
@@ -156,12 +191,13 @@ def main():
     # by its actual scale/device so it cannot masquerade as the flagship
     # (r3 committed an n=4,974 CPU run under the 100k name — never again).
     dev = str(jax.devices()[0])
+    variant = "_interior" if args.interior else ""
     is_headline = n >= 90_000 and "CPU" not in dev.upper()
     if is_headline:
-        fname = "unstructured100k.json"
+        fname = f"unstructured100k{variant}.json"
     else:
         tag = "cpu" if "CPU" in dev.upper() else "tpu"
-        fname = f"unstructured{n}_{tag}_smoke.json"
+        fname = f"unstructured{n}{variant}_{tag}_smoke.json"
         result["smoke"] = True
     with open(os.path.join(_HERE, "results", fname), "w") as f:
         f.write(json.dumps(result, indent=1))

@@ -73,13 +73,20 @@ def _shifted_op(A_op, B_op, z: CX):
     """S = A - z*B on the shared structure: same class, combined data."""
     from .sparse import BELL, CSR, DIA
 
-    a, b = A_op.data, B_op.data
-    d = CX(a.re - (z.re * b.re - z.im * b.im),
-           a.im - (z.re * b.im + z.im * b.re))
+    def comb(a, b):
+        return CX(a.re - (z.re * b.re - z.im * b.im),
+                  a.im - (z.re * b.im + z.im * b.re))
+
+    d = comb(A_op.data, B_op.data)
     if isinstance(A_op, DIA):
         return DIA(d, A_op.offsets, A_op.shape)
     if isinstance(A_op, BELL):
-        return BELL(d, A_op.colb, A_op.shape)
+        spill = None
+        if A_op.spill is not None:  # kcap overflow CSR shares one pattern
+            spill = CSR(comb(A_op.spill.data, B_op.spill.data),
+                        A_op.spill.indices, A_op.spill.row_ids,
+                        A_op.spill.shape)
+        return BELL(d, A_op.colb, A_op.shape, spill)
     return CSR(d, A_op.indices, A_op.row_ids, A_op.shape)
 
 
@@ -324,7 +331,8 @@ def _cast_op(op, dtype):
     if isinstance(op, DIA):
         return DIA(d, op.offsets, op.shape)
     if isinstance(op, BELL):
-        return BELL(d, op.colb, op.shape)
+        spill = None if op.spill is None else _cast_op(op.spill, dtype)
+        return BELL(d, op.colb, op.shape, spill)
     return CSR(d, op.indices, op.row_ids, op.shape)
 
 
@@ -347,22 +355,20 @@ def shifted_preconditioner(amg: AMG, z: CX, *, nu: int = 2,
     """
     from . import lu as lumod
 
-    if dtype is not None and dtype != amg.Ac.re.dtype:
+    hier_dt = amg.Ac.re.dtype
+    if dtype is not None and dtype != hier_dt:
         amg = AMG(
             tuple(AMGLevel(_cast_op(L.A_op, dtype), _cast_op(L.B_op, dtype),
                            L.dA.astype(dtype), L.dB.astype(dtype),
                            _cast_op(L.P, dtype), _cast_op(L.R, dtype))
                   for L in amg.levels),
             amg.Ac.astype(dtype), amg.Bc.astype(dtype))
-        zc = CX(z.re.astype(dtype), z.im.astype(dtype))
-        inner = shifted_preconditioner(amg, zc, nu=nu, omega=omega,
-                                       cycles=cycles)
-
-        def M_cast(X: CX) -> CX:
-            out = inner(CX(X.re.astype(dtype), X.im.astype(dtype)))
-            return CX(out.re.astype(X.re.dtype), out.im.astype(X.im.dtype))
-
-        return M_cast
+        hier_dt = dtype
+    # The V-cycle ALWAYS runs in the hierarchy's stored dtype: cast X at
+    # the boundary, not inside (an f64 X flowing into f32 level stores
+    # silently promotes every SpMM back to emulated f64 — the hierarchy is
+    # now BUILT in the apply dtype, so this wrapper is the only cast site).
+    z = CX(z.re.astype(hier_dt), z.im.astype(hier_dt))
 
     def shift_data(a: CX, b: CX) -> CX:
         return CX(a.re - (z.re * b.re - z.im * b.im),
@@ -403,7 +409,7 @@ def shifted_preconditioner(amg: AMG, z: CX, *, nu: int = 2,
         x = x + L.P.matvec(xc)
         return smooth(l, x, r, nu)
 
-    def M(X: CX) -> CX:
+    def M_inner(X: CX) -> CX:
         out = vcycle(0, X)
         for _ in range(cycles - 1):
             resid = X - S[0].matvec(out)
@@ -411,5 +417,12 @@ def shifted_preconditioner(amg: AMG, z: CX, *, nu: int = 2,
         return out
 
     if not amg.levels:  # degenerate: problem already <= max_coarse
-        return lambda X: lumod.lu_solve(LUc, permc, X)
+        M_inner = lambda X: lumod.lu_solve(LUc, permc, X)  # noqa: E731
+
+    def M(X: CX) -> CX:
+        if X.re.dtype == hier_dt:
+            return M_inner(X)
+        out = M_inner(CX(X.re.astype(hier_dt), X.im.astype(hier_dt)))
+        return CX(out.re.astype(X.re.dtype), out.im.astype(X.im.dtype))
+
     return M

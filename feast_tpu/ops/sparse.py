@@ -15,6 +15,7 @@ MXU-free bandwidth-bound cost, vmappable and shardable over a row-partition.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -274,17 +275,25 @@ class BELL:
     ceil(kmax*bs/128)*128 / (kmax*bs) ~ 1x, and the matvec contraction is
     one batched (nbr, bs, K) x (nbr, K, m) GEMM, K = kmax*bs."""
 
-    def __init__(self, data: CX, colb, shape):
+    def __init__(self, data: CX, colb, shape, spill: "CSR" = None):
         self.data = data
         self.colb = colb
         self.shape = tuple(shape)
+        # Optional CSR holding entries of OVERFLOW blocks beyond the kcap
+        # fullest block slots per block row (see from_scipy kcap=).  On
+        # P1-FEM patterns the per-block-row slot count has a long tail
+        # (kmax ~ 2.2x the mean); capping at ~p90 and spilling <0.5% of
+        # the nnz to a tiny CSR cuts the stored fill ~1.8x (measured on
+        # the 100k unstructured pencil: bs=8 fill 25.2 -> 13.7 at 0.42%
+        # spill).
+        self.spill = spill
 
     def tree_flatten(self):
-        return (self.data, self.colb), self.shape
+        return (self.data, self.colb, self.spill), self.shape
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, aux)
+        return cls(children[0], children[1], aux, children[2])
 
     @property
     def bs(self):
@@ -298,14 +307,22 @@ class BELL:
     def nnz(self):
         # stored entries (blocks are dense in this format), like DIA.nnz
         d = self.data.re.shape
-        return d[0] * d[1] * d[2]
+        return d[0] * d[1] * d[2] + (self.spill.nnz
+                                     if self.spill is not None else 0)
 
     @staticmethod
-    def _structure(A, bs):
+    def _structure(A, bs, kcap=None):
         """Host-side block structure of a scipy CSR: returns
-        (colb (nbr, kmax) int32, blk_of_nnz, r_in_blk, c_in_blk) where the
-        last three map each stored nnz to (flat block slot, row-in-block,
-        col-in-block) for data filling."""
+        (colb (nbr, kmax) int32, blk_of_nnz, r_in_blk, c_in_blk, vals,
+        nbr, kmax, keep_nnz, coo) where blk/r/c map each stored nnz to
+        (flat block slot, row-in-block, col-in-block) for data filling and
+        keep_nnz marks the entries that land in stored blocks (the rest
+        spill to CSR).
+
+        kcap: cap the block slots per block row — keep the kcap FULLEST
+        blocks of each row, spill the rest.  "auto" picks the kcap that
+        minimizes the measured cost model (slot GEMM cost vs CSR spill
+        cost).  None stores every block (kmax = max row count)."""
         import scipy.sparse as sp
 
         A = sp.csr_matrix(A)
@@ -316,57 +333,94 @@ class BELL:
         brow = coo.row // bs
         bcol = coo.col // bs
         keys = brow.astype(np.int64) * ncb + bcol
-        uk, inv = np.unique(keys, return_inverse=True)
+        uk, inv, cnt = np.unique(keys, return_inverse=True,
+                                 return_counts=True)
         ub_row = (uk // ncb).astype(np.int64)
         ub_col = (uk % ncb).astype(np.int64)
-        # rank of each unique block within its block row (uk is sorted, so
-        # blocks of one row are consecutive)
         counts = np.bincount(ub_row, minlength=nbr)
-        kmax = max(int(counts.max()) if counts.size else 1, 1)
+        kfull = max(int(counts.max()) if counts.size else 1, 1)
         row_start = np.zeros(nbr + 1, dtype=np.int64)
         np.cumsum(counts, out=row_start[1:])
-        k_of_block = np.arange(uk.size) - row_start[ub_row]
+        # rank blocks within each row by descending nnz count (ties by
+        # column) so a cap keeps the fullest blocks
+        order = np.lexsort((ub_col, -cnt, ub_row))
+        rank = np.empty(uk.size, dtype=np.int64)
+        rank[order] = np.arange(uk.size) - row_start[ub_row[order]]
+        if kcap == "auto":
+            # nnz spilled if capped at k = suffix sum of cnt by rank
+            nnz_at_rank = np.bincount(rank, weights=cnt, minlength=kfull)
+            spill_at = np.concatenate(
+                (np.cumsum(nnz_at_rank[::-1])[::-1], [0.0]))
+            ks = np.arange(1, kfull + 1)
+            cost = (nbr * ks * (_BELL_T0 + _BELL_T1 * bs)
+                    + spill_at[1:] * _CSR_T_NNZ)
+            kcap = int(ks[np.argmin(cost)])
+        if kcap is None or kfull <= kcap:
+            kmax, keep = kfull, np.ones(uk.size, dtype=bool)
+        else:
+            kmax, keep = int(kcap), rank < kcap
+        # pad the block-row count to a multiple of 16 (zero blocks) so the
+        # sequential row-chunked matvec can split nbr evenly (see matvec)
+        nbr = -(-nbr // 16) * 16
         colb = np.zeros((nbr, kmax), dtype=np.int32)
-        colb[ub_row, k_of_block] = ub_col.astype(np.int32)
-        blk_of_nnz = ub_row[inv] * kmax + k_of_block[inv]
+        colb[ub_row[keep], rank[keep]] = ub_col[keep].astype(np.int32)
+        blk_of_nnz = ub_row[inv] * kmax + np.minimum(rank[inv], kmax - 1)
         return (colb, blk_of_nnz, (coo.row % bs).astype(np.int64),
-                (coo.col % bs).astype(np.int64), coo.data, nbr, kmax)
+                (coo.col % bs).astype(np.int64), coo.data, nbr, kmax,
+                keep[inv], coo)
+
+    @staticmethod
+    def _pack(blk, ri, ci, vals, keep, nbr, kmax, bs, dtype):
+        data = np.zeros((nbr * kmax, bs, bs), dtype=np.complex128)
+        data[blk[keep], ri[keep], ci[keep]] = vals[keep]
+        data = (data.reshape(nbr, kmax, bs, bs).transpose(0, 2, 1, 3)
+                .reshape(nbr, bs, kmax * bs))
+        return cx.from_numpy(data, dtype)
+
+    @staticmethod
+    def _spill_csr(coo, vals, keep, shape, dtype):
+        if keep.all():
+            return None
+        sp_rows = coo.row[~keep].astype(np.int32)
+        sp_cols = coo.col[~keep].astype(np.int32)
+        return CSR(cx.from_numpy(vals[~keep].astype(np.complex128), dtype),
+                   jnp.asarray(sp_cols), jnp.asarray(sp_rows), shape)
 
     @classmethod
-    def from_scipy(cls, A, bs: int = 16, dtype=None):
+    def from_scipy(cls, A, bs: int = 16, dtype=None, kcap="auto"):
         dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64
                           else jnp.float32)
         import scipy.sparse as sp
 
         A = sp.csr_matrix(A)
-        colb, blk, ri, ci, vals, nbr, kmax = cls._structure(A, bs)
-        data = np.zeros((nbr * kmax, bs, bs), dtype=np.complex128)
-        data[blk, ri, ci] = vals
-        data = (data.reshape(nbr, kmax, bs, bs).transpose(0, 2, 1, 3)
-                .reshape(nbr, bs, kmax * bs))
-        return cls(cx.from_numpy(data, dtype), jnp.asarray(colb), A.shape)
+        colb, blk, ri, ci, vals, nbr, kmax, keep, coo = cls._structure(
+            A, bs, kcap)
+        return cls(cls._pack(blk, ri, ci, vals, keep, nbr, kmax, bs, dtype),
+                   jnp.asarray(colb), A.shape,
+                   cls._spill_csr(coo, vals, keep, A.shape, dtype))
 
     @classmethod
-    def pair_from_scipy(cls, Au, Bu, bs: int = 16, dtype=None):
+    def pair_from_scipy(cls, Au, Bu, bs: int = 16, dtype=None, kcap="auto"):
         """Two matrices on ONE shared structure (for AMG union pairs:
         S(z) = A - zB must combine data elementwise).  Au and Bu must have
         identical sparsity patterns (ops.amg._union_pair guarantees it);
-        the block structure is built once from the union."""
+        the block structure (and any kcap spill split) is built once from
+        the union, so both spill CSRs share one pattern too."""
         dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64
                           else jnp.float32)
         import scipy.sparse as sp
 
         Au = sp.csr_matrix(Au).sorted_indices()
         Bu = sp.csr_matrix(Bu).sorted_indices()
-        colb, blk, ri, ci, avals, nbr, kmax = cls._structure(Au, bs)
+        colb, blk, ri, ci, avals, nbr, kmax, keep, coo = cls._structure(
+            Au, bs, kcap)
         colb_j = jnp.asarray(colb)
         out = []
         for vals in (avals, Bu.tocoo().data):
-            data = np.zeros((nbr * kmax, bs, bs), dtype=np.complex128)
-            data[blk, ri, ci] = vals
-            data = (data.reshape(nbr, kmax, bs, bs).transpose(0, 2, 1, 3)
-                    .reshape(nbr, bs, kmax * bs))
-            out.append(cls(cx.from_numpy(data, dtype), colb_j, Au.shape))
+            out.append(cls(
+                cls._pack(blk, ri, ci, vals, keep, nbr, kmax, bs, dtype),
+                colb_j, Au.shape,
+                cls._spill_csr(coo, vals, keep, Au.shape, dtype)))
         return out[0], out[1]
 
     def matvec(self, X: CX) -> CX:
@@ -391,20 +445,56 @@ class BELL:
                  jnp.pad(X.im, ((0, pad), (0, 0)))) if pad else X)
         Xb = CX(Xp.re.reshape(ncb, bs, m), Xp.im.reshape(ncb, bs, m))
         nbr = self.colb.shape[0]
-        # (nbr, kmax, bs, m) gather, then merge (k, b) into one contraction
-        # axis K = kmax*bs (a bitcast: the merge does not touch the tiled
-        # trailing dims) to match the (nbr, bs, K) data layout
-        G = CX(Xb.re[self.colb].reshape(nbr, kmax * bs, m),
-               Xb.im[self.colb].reshape(nbr, kmax * bs, m))
         hi = jax.lax.Precision.HIGHEST
-        # 3-real-multiply complex GEMM (cx.cmatmul's Karatsuba form)
-        p1 = jnp.einsum("rak,rkm->ram", self.data.re, G.re, precision=hi)
-        p2 = jnp.einsum("rak,rkm->ram", self.data.im, G.im, precision=hi)
-        p3 = jnp.einsum("rak,rkm->ram", self.data.re + self.data.im,
-                        G.re + G.im, precision=hi)
-        Y = CX((p1 - p2).reshape(nbr * bs, m),
-               (p3 - p1 - p2).reshape(nbr * bs, m))
-        return CX(Y.re[:n], Y.im[:n])
+
+        def rows(cb, dre, dim):
+            # (nbr_c, kmax, bs, m) gather, then merge (k, b) into one
+            # contraction axis K = kmax*bs (a bitcast: the merge does not
+            # touch the tiled trailing dims) to match the (.., bs, K) data
+            # layout; 3-real-multiply complex GEMM (cx.cmatmul's Karatsuba)
+            r = cb.shape[0]
+            G = CX(Xb.re[cb].reshape(r, kmax * bs, m),
+                   Xb.im[cb].reshape(r, kmax * bs, m))
+            p1 = jnp.einsum("rak,rkm->ram", dre, G.re, precision=hi)
+            p2 = jnp.einsum("rak,rkm->ram", dim, G.im, precision=hi)
+            p3 = jnp.einsum("rak,rkm->ram", dre + dim, G.re + G.im,
+                            precision=hi)
+            return CX((p1 - p2).reshape(r * bs, m),
+                      (p3 - p1 - p2).reshape(r * bs, m))
+
+        # The gathered G temp is padded to 128 lanes in m regardless of the
+        # true m; when the while-loop/X64 context keeps XLA from fusing the
+        # gather into the dot, that temp goes resident (measured r4: 1.0 GB
+        # x2 at 12.8x padding inside the 100k Krylov body).  Bound it by
+        # running the block rows in a SEQUENTIAL fori chunk loop (nbr is
+        # padded to a multiple of 16 at construction).
+        f64 = jnp.dtype(self.data.re.dtype).itemsize == 8
+        mp = -(-max(m, 1) // 128) * 128
+        gbytes = nbr * kmax * bs * mp * 4 * (2 if f64 else 1)
+        chunks = 1
+        while chunks < 16 and gbytes / chunks > _BELL_GATHER_BYTES:
+            chunks *= 2
+        if chunks == 1:
+            Y = rows(self.colb, self.data.re, self.data.im)
+        else:
+            nbr_c = nbr // chunks
+
+            def body(c, Y):
+                sl = functools.partial(jax.lax.dynamic_slice_in_dim,
+                                       start_index=c * nbr_c,
+                                       slice_size=nbr_c, axis=0)
+                yc = rows(sl(self.colb), sl(self.data.re), sl(self.data.im))
+                up = functools.partial(jax.lax.dynamic_update_slice_in_dim,
+                                       start_index=c * nbr_c * bs, axis=0)
+                return CX(up(Y.re, update=yc.re), up(Y.im, update=yc.im))
+
+            Y0 = cx.zeros((nbr * bs, m),
+                          jnp.result_type(self.data.re.dtype, X.re.dtype))
+            Y = jax.lax.fori_loop(0, chunks, body, Y0)
+        Y = CX(Y.re[:n], Y.im[:n])
+        if self.spill is not None:
+            Y = Y + self.spill.matvec(X)
+        return Y
 
     def _blocks4(self):
         """(nbr, kmax, bs, bs) logical-block view of the merged data."""
@@ -424,7 +514,10 @@ class BELL:
         on_diag = (self.colb == jnp.arange(nbr)[:, None])[..., None]
         d = CX(jnp.sum(jnp.where(on_diag, dblk.re, 0.0), axis=1),
                jnp.sum(jnp.where(on_diag, dblk.im, 0.0), axis=1))
-        return CX(d.re.reshape(-1)[:n], d.im.reshape(-1)[:n])
+        d = CX(d.re.reshape(-1)[:n], d.im.reshape(-1)[:n])
+        if self.spill is not None:
+            d = d + self.spill.diagonal()
+        return d
 
     def todense(self) -> CX:
         n, m = self.shape
@@ -439,7 +532,10 @@ class BELL:
         im = im.at[r, c].add(D4.im.reshape(-1, bs, bs))
         re = re.transpose(0, 2, 1, 3).reshape(nbr * bs, ncb * bs)
         im = im.transpose(0, 2, 1, 3).reshape(nbr * bs, ncb * bs)
-        return CX(re[:n, :m], im[:n, :m])
+        D = CX(re[:n, :m], im[:n, :m])
+        if self.spill is not None:
+            D = D + self.spill.todense()
+        return D
 
 
 def bell_fill(A, bs: int = 16) -> float:
@@ -470,35 +566,63 @@ _BELL_T0 = 60e-9
 _BELL_T1 = 2.6e-9
 _CSR_T_NNZ = 34e-9
 _BELL_CANDIDATE_BS = (8, 16, 32, 64)
+# cap on the padded gather temp a single matvec chunk may materialize
+# (see BELL.matvec's sequential chunk loop)
+_BELL_GATHER_BYTES = 268e6
 
 
-def bell_hbm_bytes(A, bs: int, dtype=None) -> int:
-    """Actual HBM footprint of one BELL operator at block size `bs`,
-    including the TPU (8, 128) tile padding of the (nbr, bs, kmax*bs) data
-    layout — the quantity the byte caps must model (r4: the unmodeled 4.0x
-    minor-dim padding of the old (.., bs, bs) layout compile-OOMed the 100k
-    unstructured run at 58 GB)."""
+def bell_plan(A, bs: int):
+    """Host-side plan of the auto-kcap BELL structure at block size `bs`:
+    (kcap, stored_slots, spill_nnz, kfull).  Mirrors _structure(kcap="auto")
+    without building the data arrays — used by the bs picker and byte
+    caps."""
     import scipy.sparse as sp
 
     A = sp.csr_matrix(A)
-    nnz = max(A.nnz, 1)
+    coo = A.tocoo()
+    nbr = -(-A.shape[0] // bs)
+    ncb = -(-A.shape[1] // bs)
+    keys = (coo.row // bs).astype(np.int64) * ncb + coo.col // bs
+    uk, cnt = np.unique(keys, return_counts=True)
+    ub_row = (uk // ncb).astype(np.int64)
+    counts = np.bincount(ub_row, minlength=nbr)
+    kfull = max(int(counts.max()) if counts.size else 1, 1)
+    row_start = np.zeros(nbr + 1, dtype=np.int64)
+    np.cumsum(counts, out=row_start[1:])
+    order = np.lexsort((-cnt, ub_row))
+    rank = np.empty(uk.size, dtype=np.int64)
+    rank[order] = np.arange(uk.size) - row_start[ub_row[order]]
+    nnz_at_rank = np.bincount(rank, weights=cnt, minlength=kfull)
+    spill_at = np.concatenate((np.cumsum(nnz_at_rank[::-1])[::-1], [0.0]))
+    ks = np.arange(1, kfull + 1)
+    cost = (nbr * ks * (_BELL_T0 + _BELL_T1 * bs)
+            + spill_at[1:] * _CSR_T_NNZ)
+    kcap = int(ks[np.argmin(cost)])
+    return kcap, nbr * kcap, float(spill_at[kcap]), kfull
+
+
+def bell_hbm_bytes(A, bs: int, dtype=None) -> int:
+    """Actual HBM footprint of one BELL operator at block size `bs` with
+    the auto-kcap plan, including the TPU (8, 128) tile padding of the
+    (nbr, bs, kcap*bs) data layout — the quantity the byte caps must model
+    (r4: the unmodeled 4.0x minor-dim padding of the old (.., bs, bs)
+    layout compile-OOMed the 100k unstructured run at 58 GB)."""
     f64 = (dtype is None and jax.config.jax_enable_x64) or (
         dtype is not None and jnp.dtype(dtype).itemsize == 8)
     bytes_per_entry = 16 if f64 else 8  # re+im pair (f64 = 2x f32 on TPU)
-    stored = bell_fill(A, bs) * nnz
-    kmax = stored / (bs * bs) / max(-(-A.shape[0] // bs), 1)
-    K = kmax * bs
+    kcap, slots, spill, _ = bell_plan(A, bs)
+    K = kcap * bs
     pad = (-(-bs // 8) * 8 / bs) * (-(-K // 128) * 128 / max(K, 1))
-    return int(stored * bytes_per_entry * pad)
+    return int((slots * bs * bs * pad + spill) * bytes_per_entry)
 
 
 def bell_pick_bs(A, dtype=None, max_bytes: float = 1.0e9):
     """Block size BELL should use for this pattern — the candidate from the
-    measured cost model above whose stored CX pair (tile padding included,
-    see bell_hbm_bytes) stays under `max_bytes` — or None when CSR's
-    modeled wall beats every admissible candidate (degenerate patterns:
-    near-dense rows, random point sparsity where every nnz lands in its
-    own block)."""
+    measured cost model above (auto-kcap slot GEMM + CSR spill) whose
+    stored CX pair (tile padding included, see bell_hbm_bytes) stays under
+    `max_bytes` — or None when CSR's modeled wall beats every admissible
+    candidate (degenerate patterns: near-dense rows, random point sparsity
+    where every nnz lands in its own block)."""
     import scipy.sparse as sp
 
     A = sp.csr_matrix(A)
@@ -507,8 +631,8 @@ def bell_pick_bs(A, dtype=None, max_bytes: float = 1.0e9):
     for bs in _BELL_CANDIDATE_BS:
         if bell_hbm_bytes(A, bs, dtype) > max_bytes:
             continue
-        stored = bell_fill(A, bs) * nnz
-        cost = stored / (bs * bs) * (_BELL_T0 + _BELL_T1 * bs)
+        _, slots, spill, _ = bell_plan(A, bs)
+        cost = slots * (_BELL_T0 + _BELL_T1 * bs) + spill * _CSR_T_NNZ
         if cost < best_cost:
             best, best_cost = bs, cost
     return best

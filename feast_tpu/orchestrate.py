@@ -112,6 +112,7 @@ def feast_iterative_checkpointed(
         builder: Optional[str] = None,
         builder_kwargs: Optional[dict] = None,
         amg_f32: bool = False,
+        amg_damp: float = 0.0,
         platform: Optional[str] = None,
         worker_env: Optional[dict] = None,
         verbose: bool = True,
@@ -155,7 +156,8 @@ def feast_iterative_checkpointed(
 
     config = {"c": [complex(c).real, complex(c).imag],
               "builder": builder, "builder_kwargs": builder_kwargs or {},
-              "amg_f32": bool(amg_f32), "platform": platform,
+              "amg_f32": bool(amg_f32), "amg_damp": float(amg_damp),
+              "platform": platform,
               "kwargs": feast_kwargs}
     with open(os.path.join(checkpoint_dir, _CONFIG), "w") as f:
         json.dump(config, f, indent=1)
@@ -339,7 +341,10 @@ def _worker(cdir: str) -> int:
             X0 = st["Q"]
 
     kwargs = dict(config["kwargs"])
-    amg_opts = {"dtype": jnp.float32} if config["amg_f32"] else None
+    amg_opts = {"dtype": jnp.float32} if config["amg_f32"] else {}
+    if config.get("amg_damp"):
+        amg_opts["damp"] = float(config["amg_damp"])
+    amg_opts = amg_opts or None
     cc = complex(config["c"][0], config["c"][1])
     t0 = time.perf_counter()
     out = feast_iterative(A, B, X0, c=cc, iters=0, keep_q=True,

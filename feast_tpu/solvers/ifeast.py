@@ -91,7 +91,13 @@ def _raw_matrix(A):
         rows = np.broadcast_to(rows, D.shape).ravel()
         M = sp.coo_matrix((D.ravel(), (rows, cols.ravel())),
                           shape=(nbr * bs, -(-A.shape[1] // bs) * bs)).tocsr()
-        M = M[:A.shape[0], :A.shape[1]]
+        M = sp.csr_matrix(M[:A.shape[0], :A.shape[1]])
+        if A.spill is not None:  # kcap overflow entries (sparse.BELL)
+            data = (np.asarray(A.spill.data.re)
+                    + 1j * np.asarray(A.spill.data.im))
+            M = M + sp.coo_matrix(
+                (data, (np.asarray(A.spill.row_ids),
+                        np.asarray(A.spill.indices))), shape=A.shape).tocsr()
         M.eliminate_zeros()
         return M.tocsr()
     if isinstance(A, CX):
@@ -245,17 +251,22 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
     B = _to_op(B, dtype)
     if precondition is True:
         precondition = "jacobi"
-    _amg_apply_only = ("nu", "cycles", "dtype")  # "omega" feeds build+apply;
-    # "dtype" = V-cycle precision (cast in shifted_preconditioner, f32 on TPU)
+    _amg_apply_only = ("nu", "cycles", "damp")  # "omega" feeds build+apply
     amg_hier = None
     if precondition == "amg":
         from ..ops import amg as amgmod
 
         build_opts = {k: v for k, v in (amg_opts or {}).items()
                       if k not in _amg_apply_only}
+        # The V-cycle dtype (f32 on TPU) is also the STORAGE dtype: building
+        # the hierarchy in f64 and casting per-application kept a second
+        # full-precision copy of every level resident and ran X64-split
+        # casts inside the hot jit (measured r4: ~2-3 GB of the 100k
+        # chunk_solve OOM was f64 P/R stores + their f32 cast temps).
+        build_opts.setdefault("dtype", dtype)
         amg_hier = amgmod.build_amg(
             _raw_matrix(A_raw), None if B is None else _raw_matrix(B_raw),
-            dtype=dtype, **build_opts)
+            **build_opts)
     X = X0 if isinstance(X0, CX) else cx.from_numpy(np.asarray(X0), dtype)
     n, m0 = X.shape
     if contour is None:
@@ -282,7 +293,7 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
                                      restart=min(40, max(10, n // 8)))
 
     # AMG apply knobs ride in amg_opts next to the build knobs
-    _amg_apply_keys = ("nu", "omega", "cycles", "dtype")
+    _amg_apply_keys = ("nu", "omega", "cycles", "dtype", "damp")
     amg_apply = {k: v for k, v in (amg_opts or {}).items()
                  if k in _amg_apply_keys}
 
@@ -337,7 +348,21 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
         if precondition == "amg":
             from ..ops import amg as amgmod
 
-            return amgmod.shifted_preconditioner(amg, zi, **amg_apply)
+            opts = dict(amg_apply)
+            # Complex-shifted-Laplacian style damping for strongly interior
+            # slices: precondition at z + i*sign(Im z)*damp*|z| — the extra
+            # imaginary shift keeps the V-cycle contraction stable when
+            # A - zB is indefinite mid-spectrum, at the price of a few
+            # extra outer Krylov iterations (measured: damp 0.02-0.1
+            # neutral-to-helpful, 0.3 costs ~40% more iterations on a
+            # mid-spectrum FEM slice; plain AMG already converges there
+            # because contour nodes carry Im z != 0).
+            damp = float(opts.pop("damp", 0.0))
+            if damp:
+                s = jnp.where(zi.im >= 0, 1.0, -1.0)
+                mag = jnp.sqrt(zi.re ** 2 + zi.im ** 2)
+                zi = CX(zi.re, zi.im + s * damp * mag)
+            return amgmod.shifted_preconditioner(amg, zi, **opts)
         if precondition == "jacobi":
             return spmod.jacobi_preconditioner(A, B, zi)
         if callable(precondition):

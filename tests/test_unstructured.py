@@ -156,3 +156,39 @@ def test_feast_iterative_unstructured_fem_slice():
     # vectors in caller ordering: generalized residual against raw K, M
     Rv = K @ X - (M @ X) * lam[None, :]
     assert np.linalg.norm(Rv, axis=0).max() < 1e-8
+
+
+@pytest.mark.slow
+def test_feast_iterative_interior_fem_slice():
+    """Mid-spectrum (strongly indefinite A - zB) slice of the unstructured
+    FEM pencil — the regime where the reference leans on UMFPACK's
+    shift-agnostic sparse LU (test/gun2.jl:4-6) and standard SA-AMG is off
+    its comfort zone.  Plain AMG + bicgstab_rr must still converge because
+    contour nodes carry Im z != 0 (see ifeast._make_M damp notes)."""
+    K, M, _ = problems.fem2d_unstructured(3000, seed=1)
+    n = K.shape[0]
+    import scipy.sparse.linalg as spl
+
+    lmax = float(spl.eigsh(K.real.tocsc(), k=1, M=M.real.tocsc(),
+                           which="LA", return_eigenvectors=False)[0])
+    sigma = 0.45 * lmax
+    near = np.sort(spl.eigsh(K.real.tocsc(), k=10, M=M.real.tocsc(),
+                             sigma=sigma, which="LM",
+                             return_eigenvectors=False))
+    sel = near[2:7]
+    c = (sel[0] + sel[-1]) / 2
+    gap = min(sel[0] - near[1], near[7] - sel[-1])
+    r = (sel[-1] - sel[0]) / 2 + 0.4 * gap
+    inside_exact = near[np.abs(near - c) <= r]
+    rng = np.random.default_rng(9)
+    X0 = rng.standard_normal((n, 10)) + 1j * rng.standard_normal((n, 10))
+    out = feast_iterative(K, M, X0, c=complex(c), r=float(r), nodes=8,
+                          iters=12, tol=1e-9, precondition="amg",
+                          solver="bicgstab_rr", solve_tol=1e-9,
+                          solve_iters=300, spurious=1e-3)
+    assert out.converged, (out.n_iter, np.asarray(out.res))
+    lam, X, res = out.filtered()
+    assert len(lam) == len(inside_exact), (np.sort(lam.real), inside_exact)
+    np.testing.assert_allclose(np.sort(lam.real), inside_exact, rtol=1e-7)
+    Rv = K @ X - (M @ X) * lam[None, :]
+    assert np.linalg.norm(Rv, axis=0).max() < 1e-7 * np.abs(lam).max()
