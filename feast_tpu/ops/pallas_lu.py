@@ -1,0 +1,207 @@
+"""Pallas TPU panel-LU kernel — the launch-fusion attack on the dense
+factor stage (VERDICT r3 #7).
+
+The measured chip cost model (CLAUDE.md r3) says the blocked LU factor is
+STEP-COUNT bound, not flop bound: every rank-1 panel step is a separate
+fused kernel at ~22-28 us of launch/dependency latency, so n=4096 costs
+4096 steps x 22 us ~ 90 ms per node no matter how the flops are arranged
+(reference counterpart: LAPACK getrf panel, which a CPU runs without any
+launch cost).  The TPU-native fix is to run the WHOLE (n, 128) panel
+factorization — pivot argmax, row swaps, scaling, rank-1 updates, all 128
+sequential steps — inside ONE Pallas kernel with the panel resident in
+VMEM: launch count per factor drops from n to n/128 (+ one unit-lower
+inverse per panel, computed in-kernel, which also deletes the 128-step
+`_unit_lower_solve_small` TRSM from the block loop).
+
+f32 only (the mixed-precision dense path: f32 LU + f64 iterative
+refinement, solvers/feast.py).  The f64 path keeps the XLA formulation.
+
+Semantics match ops/lu.py `_panel_lu_slab` (full-height slab, global pivot
+rows j0..j0+b-1, argmax-|.|^2 partial pivoting, eps-scaled zero-pivot
+substitution); the host loop `lu_factor_pallas` mirrors `lu_factor`'s
+unrolled bookkeeping with the per-block row permutation applied as one
+full-width gather.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .. import cx
+from ..cx import CX
+
+_INTERPRET = False  # interpret-mode for CPU correctness tests
+
+
+def _panel_kernel(b: int, n: int):
+    """Build the panel kernel for static (n, b)."""
+
+    def kernel(j0_ref, pr_in, pi_in, pr_ref, pi_ref, perm_ref,
+               ilr_ref, ili_ref):
+        # pr_in/pi_in are aliased to pr_ref/pi_ref (input_output_aliases);
+        # all reads/writes go through the output refs
+        del pr_in, pi_in
+        j0 = j0_ref[0, 0]
+        rows = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+        cols = lax.broadcasted_iota(jnp.int32, (1, b), 1)
+        perm_ref[:] = rows
+        eps = jnp.finfo(pr_ref.dtype).eps
+        mag_all = pr_ref[:] * pr_ref[:] + pi_ref[:] * pi_ref[:]
+        tiny = eps * jnp.maximum(jnp.sqrt(jnp.max(mag_all)), 1e-30)
+
+        for k in range(b):
+            g = j0 + k
+            crv = pr_ref[:, k:k + 1]
+            civ = pi_ref[:, k:k + 1]
+            mag = jnp.where(rows >= g, crv * crv + civ * civ, -1.0)
+            p = jnp.argmax(mag[:, 0]).astype(jnp.int32)
+            # swap rows g <-> p of panel + perm (read both, write both)
+            rg_r = pr_ref[pl_ds(g)]
+            rg_i = pi_ref[pl_ds(g)]
+            rp_r = pr_ref[pl_ds(p)]
+            rp_i = pi_ref[pl_ds(p)]
+            pr_ref[pl_ds(g)] = rp_r
+            pi_ref[pl_ds(g)] = rp_i
+            pr_ref[pl_ds(p)] = rg_r
+            pi_ref[pl_ds(p)] = rg_i
+            eg = perm_ref[pl_ds(g)]
+            ep = perm_ref[pl_ds(p)]
+            perm_ref[pl_ds(g)] = ep
+            perm_ref[pl_ds(p)] = eg
+            piv_r = rp_r[0, k]
+            piv_i = rp_i[0, k]
+            nz = (piv_r != 0.0) | (piv_i != 0.0)
+            # zero-pivot guard: substitute a panel-scaled tiny real pivot
+            piv_r = jnp.where(nz, piv_r, tiny)
+            piv_i = jnp.where(nz, piv_i, 0.0)
+            # Smith's reciprocal (cx.cdiv semantics): piv_r^2 + piv_i^2
+            # underflows f32 for tiny guarded pivots
+            big = jnp.abs(piv_r) >= jnp.abs(piv_i)
+            r1 = piv_i / jnp.where(piv_r == 0.0, 1.0, piv_r)
+            den1 = piv_r + piv_i * r1
+            r2 = piv_r / jnp.where(piv_i == 0.0, 1.0, piv_i)
+            den2 = piv_r * r2 + piv_i
+            inv_r = jnp.where(big, 1.0 / den1, r2 / den2)
+            inv_i = jnp.where(big, -r1 / den1, -1.0 / den2)
+            crv = pr_ref[:, k:k + 1]
+            civ = pi_ref[:, k:k + 1]
+            below = rows > g
+            mr = jnp.where(below, crv * inv_r - civ * inv_i, crv)
+            mi = jnp.where(below, crv * inv_i + civ * inv_r, civ)
+            pr_ref[:, k:k + 1] = mr
+            pi_ref[:, k:k + 1] = mi
+            # rank-1 trailing update, cols > k (static mask), rows > g
+            ur = pr_ref[pl_ds(g)]
+            ui = pi_ref[pl_ds(g)]
+            cmask = cols > k
+            ur = jnp.where(cmask, ur, 0.0)
+            ui = jnp.where(cmask, ui, 0.0)
+            mrb = jnp.where(below, mr, 0.0)
+            mib = jnp.where(below, mi, 0.0)
+            pr_ref[:] = pr_ref[:] - (mrb * ur - mib * ui)
+            pi_ref[:] = pi_ref[:] - (mrb * ui + mib * ur)
+
+        # in-kernel inverse of the unit-lower diagonal block L11 (rows
+        # j0..j0+b-1): deletes the 128-step TRSM from the host block loop
+        Lr = pr_ref[pl_ds(j0, b)]
+        Li = pi_ref[pl_ds(j0, b)]
+        rb = lax.broadcasted_iota(jnp.int32, (b, b), 0)
+        cb = lax.broadcasted_iota(jnp.int32, (b, b), 1)
+        strict = rb > cb
+        Lr = jnp.where(strict, Lr, 0.0)
+        Li = jnp.where(strict, Li, 0.0)
+        eye = (rb == cb).astype(pr_ref.dtype)
+        ilr_ref[:] = eye
+        ili_ref[:] = jnp.zeros_like(eye)
+        for k in range(1, b):
+            lr = Lr[k:k + 1, :]  # nonzero only at cols < k
+            li = Li[k:k + 1, :]
+            Xr = ilr_ref[:]
+            Xi = ili_ref[:]
+            acc_r = jnp.sum(lr.T * Xr - li.T * Xi, axis=0, keepdims=True)
+            acc_i = jnp.sum(lr.T * Xi + li.T * Xr, axis=0, keepdims=True)
+            ilr_ref[k:k + 1, :] = eye[k:k + 1, :] - acc_r
+            ili_ref[k:k + 1, :] = -acc_i
+
+    return kernel
+
+
+def pl_ds(start, size: int = 1):
+    from jax.experimental import pallas as pl
+
+    return (pl.ds(start, size), slice(None))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def panel_slab_pallas(slab: CX, j0, interpret: bool = False):
+    """Factor the (n, b) column slab in place (pivot rows j0..j0+b-1).
+
+    Returns (slab_factored, perm (n,) int32 composed row permutation,
+    invL11 CX (b, b) inverse of the unit-lower diagonal block)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, b = slab.shape
+    j0a = jnp.asarray(j0, jnp.int32).reshape(1, 1)
+    kern = _panel_kernel(b, n)
+    out = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((n, b), slab.re.dtype),
+            jax.ShapeDtypeStruct((n, b), slab.re.dtype),
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+            jax.ShapeDtypeStruct((b, b), slab.re.dtype),
+            jax.ShapeDtypeStruct((b, b), slab.re.dtype),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        input_output_aliases={1: 0, 2: 1},
+        interpret=interpret or _INTERPRET,
+    )(j0a, slab.re, slab.im)
+    pr, pi, perm, ilr, ili = out
+    return CX(pr, pi), perm[:, 0], CX(ilr, ili)
+
+
+def lu_factor_pallas(A: CX, block: int = 128, interpret: bool = False):
+    """Blocked LU with partial pivoting, Pallas panel kernel (f32, square,
+    n % block == 0 — the bench shapes; general shapes stay on lu_factor).
+
+    Same contract as ops.lu.lu_factor: returns (LU, perm)."""
+    n = A.shape[0]
+    assert n % block == 0, (n, block)
+    perm = jnp.arange(n)
+    for j in range(0, n, block):
+        slab = CX(A.re[:, j:j + block], A.im[:, j:j + block])
+        slab, pb, invL = panel_slab_pallas(slab, j, interpret=interpret)
+        # one full-width gather applies the block's row swaps everywhere
+        A = CX(A.re[pb], A.im[pb])
+        perm = perm[pb]
+        A = CX(A.re.at[:, j:j + block].set(slab.re),
+               A.im.at[:, j:j + block].set(slab.im))
+        if j + block < n:
+            # U12 = L11^{-1} A12 via the in-kernel inverse (one MXU GEMM)
+            A12 = CX(A.re[j:j + block, j + block:],
+                     A.im[j:j + block, j + block:])
+            U12 = cx.cmatmul(invL, A12)
+            L21 = CX(slab.re[j + block:], slab.im[j + block:])
+            A22 = CX(A.re[j + block:, j + block:],
+                     A.im[j + block:, j + block:]) - cx.cmatmul(L21, U12)
+            A = CX(A.re.at[j:j + block, j + block:].set(U12.re)
+                   .at[j + block:, j + block:].set(A22.re),
+                   A.im.at[j:j + block, j + block:].set(U12.im)
+                   .at[j + block:, j + block:].set(A22.im))
+    return A, perm
