@@ -124,8 +124,9 @@ def main():
     # of the RCM pass)
     for tag, Mx, bss in (("raw", A, args.bs[:1]), ("rcm", Ap, args.bs)):
         for bs in bss:
-            fill = spmod.bell_fill(Mx, bs)
-            Ab = spmod.BELL.from_scipy(Mx, bs, dtype)
+            fill_uncapped = spmod.bell_fill(Mx, bs)
+            kcap, slots, spill, kfull = spmod.bell_plan(Mx, bs)
+            Ab = spmod.BELL.from_scipy(Mx, bs, dtype)  # kcap="auto"
             t = _time_chain(lambda op, V: op.matvec(V), Ab, X)
             # actual traffic BELL moves (stored data + gathered X + Y)
             stored = Ab.nnz
@@ -133,7 +134,10 @@ def main():
                       + n * m * 2 * w)
             key = f"bell_{tag}_bs{bs}"
             out["fem"][key] = {
-                "fill": round(fill, 1), "s": round(t, 6),
+                "fill": round(stored / nnz, 1),
+                "fill_uncapped": round(fill_uncapped, 1),
+                "kcap": int(kcap), "kfull": int(kfull),
+                "spill_nnz": int(spill), "s": round(t, 6),
                 "eff_GBps": round(useful / t / 1e9, 1),
                 "raw_GBps": round(actual / t / 1e9, 1)}
             print(key, out["fem"][key], flush=True)

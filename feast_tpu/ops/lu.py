@@ -365,6 +365,20 @@ def _auto_block(n: int) -> int:
     return 128
 
 
+_PANEL_BACKEND = "xla"
+
+
+def set_panel_backend(name: str):
+    """Select the panel-factorization backend for f32 lu_factor: "xla"
+    (rank-1 steps as fused XLA kernels) or "pallas" (whole-panel fusion,
+    ops/pallas_lu.py — one launch per 128-column panel instead of 128;
+    see benchmarks/lu_pallas.py for the measured comparison)."""
+    global _PANEL_BACKEND
+    if name not in ("xla", "pallas"):
+        raise ValueError(f"unknown panel backend {name!r}")
+    _PANEL_BACKEND = name
+
+
 def lu_factor(A: CX, block: int = 0, loop: str = "auto"):
     """Blocked LU with partial pivoting: P A = L U.
 
@@ -375,12 +389,23 @@ def lu_factor(A: CX, block: int = 0, loop: str = "auto"):
 
     loop: "unrolled" (python block loop — minimal flops, best for small n),
     "fori" (single aliased carry buffer + masked full-width trailing GEMMs
-    — bounded memory and fast compiles at large n), "auto" picks by size.
+    — bounded memory and fast compiles at large n), "pallas" (whole-panel
+    Pallas kernel, f32 + n % 128 == 0 only), "auto" picks by size and the
+    set_panel_backend selection.
     """
     n = A.shape[0]
     assert A.shape[0] == A.shape[1], "lu_factor expects square matrices"
     if loop == "auto":
-        loop = "fori" if n > 4096 else "unrolled"
+        if (_PANEL_BACKEND == "pallas" and A.re.dtype == jnp.float32
+                and n % 128 == 0 and n >= 1024
+                and jax.default_backend() not in ("cpu",)):
+            loop = "pallas"
+        else:
+            loop = "fori" if n > 4096 else "unrolled"
+    if loop == "pallas":
+        from . import pallas_lu
+
+        return pallas_lu.lu_factor_pallas(A, block=block or 128)
     if loop == "fori":
         block = block or 512
         Ap, n_true = _lu_pad(A, block)
