@@ -39,6 +39,10 @@ def main():
                          "heuristic")
     ap.add_argument("--amg-f64", action="store_true",
                     help="keep the V-cycle in emulated f64 (default f32)")
+    ap.add_argument("--sweeps-per-worker", type=int, default=3,
+                    help="refinement sweeps per checkpoint subprocess "
+                         "(>1 keeps Krylov warm starts alive across "
+                         "sweeps; 1 = maximum crash isolation)")
     ap.add_argument("--interior", action="store_true",
                     help="mid-spectrum slice (~45%% of lambda_max, index "
                          "~n/2) instead of the lowest cluster — the "
@@ -149,6 +153,7 @@ def main():
         out = feast_iterative_checkpointed(
             K, M, X0, checkpoint_dir=ck, max_sweeps=args.sweeps,
             resume=False, amg_f32=not args.amg_f64, amg_damp=args.damp,
+            sweeps_per_worker=args.sweeps_per_worker,
             platform="cpu" if args.cpu else None, **common)
         lam = np.asarray(out.lam.re) + 1j * np.asarray(out.lam.im)
         res = np.asarray(out.res)

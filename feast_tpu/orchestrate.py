@@ -113,6 +113,7 @@ def feast_iterative_checkpointed(
         builder_kwargs: Optional[dict] = None,
         amg_f32: bool = False,
         amg_damp: float = 0.0,
+        sweeps_per_worker: int = 1,
         platform: Optional[str] = None,
         worker_env: Optional[dict] = None,
         verbose: bool = True,
@@ -157,6 +158,7 @@ def feast_iterative_checkpointed(
     config = {"c": [complex(c).real, complex(c).imag],
               "builder": builder, "builder_kwargs": builder_kwargs or {},
               "amg_f32": bool(amg_f32), "amg_damp": float(amg_damp),
+              "sweeps_per_worker": int(sweeps_per_worker),
               "platform": platform,
               "kwargs": feast_kwargs}
     with open(os.path.join(checkpoint_dir, _CONFIG), "w") as f:
@@ -341,15 +343,23 @@ def _worker(cdir: str) -> int:
             X0 = st["Q"]
 
     kwargs = dict(config["kwargs"])
+    # >1 keeps feast_iterative's per-node Krylov warm starts alive across
+    # that many refinement sweeps (they cannot be checkpointed cheaply:
+    # 8 nodes x (n, m0) f64 CX ~ 256 MB at 100k dof).  Measured r4: the
+    # 3rd isolated one-sweep worker paid 1489 s vs 173 s for sweep 2 -
+    # cold Krylov starts dominate late sweeps.
+    spw = max(int(config.get("sweeps_per_worker", 1)), 1)
     amg_opts = {"dtype": jnp.float32} if config["amg_f32"] else {}
     if config.get("amg_damp"):
         amg_opts["damp"] = float(config["amg_damp"])
     amg_opts = amg_opts or None
     cc = complex(config["c"][0], config["c"][1])
     t0 = time.perf_counter()
-    out = feast_iterative(A, B, X0, c=cc, iters=0, keep_q=True,
+    out = feast_iterative(A, B, X0, c=cc, iters=spw - 1, keep_q=True,
                           nit0=sweeps, amg_opts=amg_opts, **kwargs)
     sweep_s = time.perf_counter() - t0
+    done_in_call = max(int(out.n_iter) if bool(out.converged)
+                       else int(out.n_iter) + 1, 1)
 
     # crash-injection hook for the recovery tests: die AFTER the sweep's
     # compute but BEFORE the checkpoint (simulates the real mid-sweep
@@ -369,14 +379,15 @@ def _worker(cdir: str) -> int:
                   res=np.asarray(out.res),
                   inside=np.asarray(out.inside),
                   converged=np.asarray(bool(out.converged)),
-                  sweeps=np.asarray(sweeps + 1), sweep_s=sweep_s)
-    _log(cdir, {"event": "sweep", "sweep": sweeps + 1,
+                  sweeps=np.asarray(sweeps + done_in_call),
+                  sweep_s=sweep_s)
+    _log(cdir, {"event": "sweep", "sweep": sweeps + done_in_call,
                 "converged": bool(out.converged),
                 "max_res_inside": (float(np.asarray(out.res)[
                     np.asarray(out.inside)].max())
                     if np.asarray(out.inside).any() else None),
                 "sweep_s": round(sweep_s, 2)})
-    print(json.dumps({"sweep": sweeps + 1,
+    print(json.dumps({"sweep": sweeps + done_in_call,
                       "converged": bool(out.converged),
                       "sweep_s": round(sweep_s, 2)}), flush=True)
     return 0
