@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--block", type=int, default=128)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--variant", choices=["xla", "pallas", "both"],
+                    default="both",
+                    help="run one variant per invocation to bound the "
+                         "remote-compile wall; results merge into the "
+                         "same json")
     args = ap.parse_args()
 
     import jax
@@ -52,13 +57,14 @@ def main():
     from feast_tpu.ops import pallas_lu
 
     n, nodes = args.n, args.nodes
-    rng = np.random.default_rng(1)
-    Ah = (rng.standard_normal((nodes, n, n))
-          + 1j * rng.standard_normal((nodes, n, n)))
-    # diagonal boost: realistic shifted-pencil conditioning
-    Ah += np.eye(n)[None] * 4.0
-    A = cx.from_numpy(Ah, jnp.float32)
-    A = jax.device_put(A)
+    # device-side operands: a (nodes, n, n) host build + upload costs
+    # ~4.3 GB and ~3 min through the 25 MB/s tunnel
+    key = jax.random.PRNGKey(1)
+    k1, k2 = jax.random.split(key)
+    eye = jnp.eye(n, dtype=jnp.float32) * 4.0
+    A = cx.CX(jax.random.normal(k1, (nodes, n, n), jnp.float32) + eye[None],
+              jax.random.normal(k2, (nodes, n, n), jnp.float32))
+    Ah = None  # node-0 host copy pulled lazily for the recon check
 
     interp = jax.devices()[0].platform == "cpu"
     xla_fac = jax.jit(jax.vmap(lambda M: lumod.lu_factor(M)))
@@ -69,9 +75,22 @@ def main():
     def sync(t):
         return float(np.asarray(jnp.sum(t[0].re)))
 
+    res_path = os.path.join(_HERE, "results", "lu_pallas.json")
     out = {"n": n, "nodes": nodes, "block": args.block,
            "device": str(jax.devices()[0])}
-    for tag, fn in (("xla_unrolled", xla_fac), ("pallas_panel", pal_fac)):
+    if os.path.exists(res_path):  # merge per-variant invocations
+        try:
+            prev = json.load(open(res_path))
+            if prev.get("n") == n and prev.get("nodes") == nodes:
+                out.update(prev)
+        except Exception:
+            pass
+    variants = [("xla_unrolled", xla_fac), ("pallas_panel", pal_fac)]
+    if args.variant == "xla":
+        variants = variants[:1]
+    elif args.variant == "pallas":
+        variants = variants[1:]
+    for tag, fn in variants:
         t0 = time.perf_counter()
         r = fn(A)
         sync(r)
@@ -83,12 +102,14 @@ def main():
             sync(r)
             walls.append(time.perf_counter() - t0)
         # correctness: reconstruction of node 0
+        if Ah is None:
+            Ah = np.asarray(A.re[0]) + 1j * np.asarray(A.im[0])
         LU, perm = r
         LUh = np.asarray(LU.re[0]) + 1j * np.asarray(LU.im[0])
         L = np.tril(LUh, -1) + np.eye(n)
         U = np.triu(LUh)
-        err = float(np.abs(L @ U - Ah[0][np.asarray(perm[0])]).max()
-                    / np.abs(Ah[0]).max())
+        err = float(np.abs(L @ U - Ah[np.asarray(perm[0])]).max()
+                    / np.abs(Ah).max())
         out[tag] = {"best_s": round(min(walls), 4),
                     "walls": [round(w, 4) for w in walls],
                     "compile_s": round(compile_s, 1),
@@ -97,7 +118,7 @@ def main():
     if "pallas_panel" in out and "xla_unrolled" in out:
         out["speedup"] = round(out["xla_unrolled"]["best_s"]
                                / out["pallas_panel"]["best_s"], 3)
-    with open(os.path.join(_HERE, "results", "lu_pallas.json"), "w") as f:
+    with open(res_path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
 

@@ -18,9 +18,20 @@ refinement, solvers/feast.py).  The f64 path keeps the XLA formulation.
 
 Semantics match ops/lu.py `_panel_lu_slab` (full-height slab, global pivot
 rows j0..j0+b-1, argmax-|.|^2 partial pivoting, eps-scaled zero-pivot
-substitution); the host loop `lu_factor_pallas` mirrors `lu_factor`'s
-unrolled bookkeeping with the per-block row permutation applied as one
-full-width gather.
+substitution via Smith's reciprocal); the host loop `lu_factor_pallas`
+mirrors `lu_factor`'s unrolled bookkeeping with the per-block row
+permutation applied as one full-width gather.
+
+Mosaic constraints that shaped the kernel (all measured on the real
+chip): the python-unrolled body costs ~10 min of remote compile (the
+fori-loop body 6-30 s); dynamic LANE-dim slicing must be provably
+128-aligned (column-k reads/writes are lane-masked full-panel ops, and
+the multiplier-column write is fused into the rank-1 trailing update);
+dynamic SUBLANE (row) slicing is fine (pivot swaps use pl.ds rows);
+dynamic_slice on VALUES is unsupported (masked-sum extraction).
+
+Measured win (real chip, benchmarks/results/lu_pallas.json): n=4096 x
+16 nodes f32 factor 1.131 s vs 2.953 s XLA rank-1 panels = 2.61x.
 """
 
 from __future__ import annotations
@@ -37,8 +48,17 @@ from ..cx import CX
 _INTERPRET = False  # interpret-mode for CPU correctness tests
 
 
-def _panel_kernel(b: int, n: int):
-    """Build the panel kernel for static (n, b)."""
+def _panel_kernel(b: int, n: int, unroll: bool = False):
+    """Build the panel kernel for static (n, b).
+
+    unroll=False runs the b elimination steps in a lax.fori_loop with
+    dynamic lane slicing (pl.ds on the column index) — a ~b-times smaller
+    Mosaic program than the python-unrolled variant (measured ~10 min of
+    remote compile at n=1024 x 8 panels for the unrolled form)."""
+    from jax.experimental import pallas as pl
+
+    def rds(start, size: int = 1):
+        return (pl.ds(start, size), slice(None))
 
     def kernel(j0_ref, pr_in, pi_in, pr_ref, pi_ref, perm_ref,
                ilr_ref, ili_ref):
@@ -53,27 +73,34 @@ def _panel_kernel(b: int, n: int):
         mag_all = pr_ref[:] * pr_ref[:] + pi_ref[:] * pi_ref[:]
         tiny = eps * jnp.maximum(jnp.sqrt(jnp.max(mag_all)), 1e-30)
 
-        for k in range(b):
+        def step(k):
             g = j0 + k
-            crv = pr_ref[:, k:k + 1]
-            civ = pi_ref[:, k:k + 1]
+            # lane-masked column-k extraction: Mosaic forbids dynamic
+            # lane-dim slicing (index must be a provable multiple of 128);
+            # dynamic SUBLANE (row) slicing is fine
+            kmask = cols == k
+            crv = jnp.sum(jnp.where(kmask, pr_ref[:], 0.0), axis=1,
+                          keepdims=True)
+            civ = jnp.sum(jnp.where(kmask, pi_ref[:], 0.0), axis=1,
+                          keepdims=True)
             mag = jnp.where(rows >= g, crv * crv + civ * civ, -1.0)
             p = jnp.argmax(mag[:, 0]).astype(jnp.int32)
             # swap rows g <-> p of panel + perm (read both, write both)
-            rg_r = pr_ref[pl_ds(g)]
-            rg_i = pi_ref[pl_ds(g)]
-            rp_r = pr_ref[pl_ds(p)]
-            rp_i = pi_ref[pl_ds(p)]
-            pr_ref[pl_ds(g)] = rp_r
-            pi_ref[pl_ds(g)] = rp_i
-            pr_ref[pl_ds(p)] = rg_r
-            pi_ref[pl_ds(p)] = rg_i
-            eg = perm_ref[pl_ds(g)]
-            ep = perm_ref[pl_ds(p)]
-            perm_ref[pl_ds(g)] = ep
-            perm_ref[pl_ds(p)] = eg
-            piv_r = rp_r[0, k]
-            piv_i = rp_i[0, k]
+            rg_r = pr_ref[rds(g)]
+            rg_i = pi_ref[rds(g)]
+            rp_r = pr_ref[rds(p)]
+            rp_i = pi_ref[rds(p)]
+            pr_ref[rds(g)] = rp_r
+            pi_ref[rds(g)] = rp_i
+            pr_ref[rds(p)] = rg_r
+            pi_ref[rds(p)] = rg_i
+            eg = perm_ref[rds(g)]
+            ep = perm_ref[rds(p)]
+            perm_ref[rds(g)] = ep
+            perm_ref[rds(p)] = eg
+            # lane-mask pivot extraction
+            piv_r = jnp.sum(jnp.where(kmask, rp_r, 0.0))
+            piv_i = jnp.sum(jnp.where(kmask, rp_i, 0.0))
             nz = (piv_r != 0.0) | (piv_i != 0.0)
             # zero-pivot guard: substitute a panel-scaled tiny real pivot
             piv_r = jnp.where(nz, piv_r, tiny)
@@ -87,28 +114,39 @@ def _panel_kernel(b: int, n: int):
             den2 = piv_r * r2 + piv_i
             inv_r = jnp.where(big, 1.0 / den1, r2 / den2)
             inv_i = jnp.where(big, -r1 / den1, -1.0 / den2)
-            crv = pr_ref[:, k:k + 1]
-            civ = pi_ref[:, k:k + 1]
+            # re-extract column k after the row swap
+            crv = jnp.sum(jnp.where(kmask, pr_ref[:], 0.0), axis=1,
+                          keepdims=True)
+            civ = jnp.sum(jnp.where(kmask, pi_ref[:], 0.0), axis=1,
+                          keepdims=True)
             below = rows > g
             mr = jnp.where(below, crv * inv_r - civ * inv_i, crv)
             mi = jnp.where(below, crv * inv_i + civ * inv_r, civ)
-            pr_ref[:, k:k + 1] = mr
-            pi_ref[:, k:k + 1] = mi
-            # rank-1 trailing update, cols > k (static mask), rows > g
-            ur = pr_ref[pl_ds(g)]
-            ui = pi_ref[pl_ds(g)]
+            # fused write: column k gets the multipliers (lane mask —
+            # no dynamic lane store), cols > k the rank-1 trailing
+            # update, cols < k untouched (ur zeroed there)
+            ur = pr_ref[rds(g)]
+            ui = pi_ref[rds(g)]
             cmask = cols > k
             ur = jnp.where(cmask, ur, 0.0)
             ui = jnp.where(cmask, ui, 0.0)
             mrb = jnp.where(below, mr, 0.0)
             mib = jnp.where(below, mi, 0.0)
-            pr_ref[:] = pr_ref[:] - (mrb * ur - mib * ui)
-            pi_ref[:] = pi_ref[:] - (mrb * ui + mib * ur)
+            pr_ref[:] = jnp.where(kmask, mr,
+                                  pr_ref[:] - (mrb * ur - mib * ui))
+            pi_ref[:] = jnp.where(kmask, mi,
+                                  pi_ref[:] - (mrb * ui + mib * ur))
+
+        if unroll:
+            for k in range(b):
+                step(k)
+        else:
+            lax.fori_loop(0, b, lambda k, _: (step(k), 0)[1], 0)
 
         # in-kernel inverse of the unit-lower diagonal block L11 (rows
         # j0..j0+b-1): deletes the 128-step TRSM from the host block loop
-        Lr = pr_ref[pl_ds(j0, b)]
-        Li = pi_ref[pl_ds(j0, b)]
+        Lr = pr_ref[rds(j0, b)]
+        Li = pi_ref[rds(j0, b)]
         rb = lax.broadcasted_iota(jnp.int32, (b, b), 0)
         cb = lax.broadcasted_iota(jnp.int32, (b, b), 1)
         strict = rb > cb
@@ -117,27 +155,35 @@ def _panel_kernel(b: int, n: int):
         eye = (rb == cb).astype(pr_ref.dtype)
         ilr_ref[:] = eye
         ili_ref[:] = jnp.zeros_like(eye)
-        for k in range(1, b):
-            lr = Lr[k:k + 1, :]  # nonzero only at cols < k
-            li = Li[k:k + 1, :]
+
+        def inv_step(k):
+            # masked row-k extraction (Mosaic has no dynamic_slice on
+            # VALUES — only on refs via pl.ds)
+            rmask = (rb == k).astype(pr_ref.dtype)
+            lr = jnp.sum(rmask * Lr, axis=0, keepdims=True)
+            li = jnp.sum(rmask * Li, axis=0, keepdims=True)
             Xr = ilr_ref[:]
             Xi = ili_ref[:]
+            # lr nonzero only at cols < k; rows >= k of X are still
+            # identity/garbage-free because X starts as eye
             acc_r = jnp.sum(lr.T * Xr - li.T * Xi, axis=0, keepdims=True)
             acc_i = jnp.sum(lr.T * Xi + li.T * Xr, axis=0, keepdims=True)
-            ilr_ref[k:k + 1, :] = eye[k:k + 1, :] - acc_r
-            ili_ref[k:k + 1, :] = -acc_i
+            erow = (cols == k).astype(pr_ref.dtype)
+            ilr_ref[rds(k)] = erow - acc_r
+            ili_ref[rds(k)] = -acc_i
+
+        if unroll:
+            for k in range(1, b):
+                inv_step(k)
+        else:
+            lax.fori_loop(1, b, lambda k, _: (inv_step(k), 0)[1], 0)
 
     return kernel
 
 
-def pl_ds(start, size: int = 1):
-    from jax.experimental import pallas as pl
-
-    return (pl.ds(start, size), slice(None))
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def panel_slab_pallas(slab: CX, j0, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "unroll"))
+def panel_slab_pallas(slab: CX, j0, interpret: bool = False,
+                      unroll: bool = False):
     """Factor the (n, b) column slab in place (pivot rows j0..j0+b-1).
 
     Returns (slab_factored, perm (n,) int32 composed row permutation,
@@ -147,7 +193,7 @@ def panel_slab_pallas(slab: CX, j0, interpret: bool = False):
 
     n, b = slab.shape
     j0a = jnp.asarray(j0, jnp.int32).reshape(1, 1)
-    kern = _panel_kernel(b, n)
+    kern = _panel_kernel(b, n, unroll)
     out = pl.pallas_call(
         kern,
         out_shape=(
@@ -176,7 +222,8 @@ def panel_slab_pallas(slab: CX, j0, interpret: bool = False):
     return CX(pr, pi), perm[:, 0], CX(ilr, ili)
 
 
-def lu_factor_pallas(A: CX, block: int = 128, interpret: bool = False):
+def lu_factor_pallas(A: CX, block: int = 128, interpret: bool = False,
+                     unroll: bool = False):
     """Blocked LU with partial pivoting, Pallas panel kernel (f32, square,
     n % block == 0 — the bench shapes; general shapes stay on lu_factor).
 
@@ -186,7 +233,8 @@ def lu_factor_pallas(A: CX, block: int = 128, interpret: bool = False):
     perm = jnp.arange(n)
     for j in range(0, n, block):
         slab = CX(A.re[:, j:j + block], A.im[:, j:j + block])
-        slab, pb, invL = panel_slab_pallas(slab, j, interpret=interpret)
+        slab, pb, invL = panel_slab_pallas(slab, j, interpret=interpret,
+                                           unroll=unroll)
         # one full-width gather applies the block's row swaps everywhere
         A = CX(A.re[pb], A.im[pb])
         perm = perm[pb]
