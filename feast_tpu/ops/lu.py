@@ -365,7 +365,12 @@ def _auto_block(n: int) -> int:
     return 128
 
 
-_PANEL_BACKEND = "xla"
+# Default "pallas" (r4): the whole-panel Mosaic kernel measured 2.61x
+# faster than the XLA rank-1 panel loop on the bench shape (16xLU(4096)
+# f32 1.131 s vs 2.953 s, benchmarks/results/lu_pallas.json) and 8%
+# end-to-end on the dense headline (pallas_e2e.json).  The auto gate
+# below still restricts it to f32, n >= 1024, n % 128 == 0, TPU.
+_PANEL_BACKEND = "pallas"
 
 
 def set_panel_backend(name: str):

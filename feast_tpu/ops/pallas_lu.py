@@ -84,7 +84,9 @@ def _panel_kernel(b: int, n: int, unroll: bool = False):
             civ = jnp.sum(jnp.where(kmask, pi_ref[:], 0.0), axis=1,
                           keepdims=True)
             mag = jnp.where(rows >= g, crv * crv + civ * civ, -1.0)
-            p = jnp.argmax(mag[:, 0]).astype(jnp.int32)
+            # lax.argmax with explicit int32: jnp.argmax returns int64
+            # under x64 and Mosaic's i64->i32 conversion helper recurses
+            p = lax.argmax(mag[:, 0], 0, jnp.int32)
             # swap rows g <-> p of panel + perm (read both, write both)
             rg_r = pr_ref[rds(g)]
             rg_i = pi_ref[rds(g)]
@@ -141,7 +143,10 @@ def _panel_kernel(b: int, n: int, unroll: bool = False):
             for k in range(b):
                 step(k)
         else:
-            lax.fori_loop(0, b, lambda k, _: (step(k), 0)[1], 0)
+            # typed int32 bounds: python-int bounds trace as int64 under
+            # x64 and 64-bit values don't lower in Mosaic
+            lax.fori_loop(jnp.int32(0), jnp.int32(b),
+                          lambda k, _: (step(k), 0)[1], 0)
 
         # in-kernel inverse of the unit-lower diagonal block L11 (rows
         # j0..j0+b-1): deletes the 128-step TRSM from the host block loop
@@ -176,7 +181,8 @@ def _panel_kernel(b: int, n: int, unroll: bool = False):
             for k in range(1, b):
                 inv_step(k)
         else:
-            lax.fori_loop(1, b, lambda k, _: (inv_step(k), 0)[1], 0)
+            lax.fori_loop(jnp.int32(1), jnp.int32(b),
+                          lambda k, _: (inv_step(k), 0)[1], 0)
 
     return kernel
 

@@ -1,0 +1,73 @@
+"""Whole-Schur Pallas kernel (ops/pallas_eig.py) — interpret-mode
+correctness against numpy (the kernel is an f32 TPU launch-fusion
+optimization of ops/eig.schur; semantics must match).  Real-chip
+validation lives in the r4 notes: 28.6 ms vs 97 ms XLA at n=48."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from feast_tpu import cx
+from feast_tpu.ops import pallas_eig
+
+
+def _check(Ah, T, Z, tol):
+    n = Ah.shape[0]
+    Th = np.asarray(T.re) + 1j * np.asarray(T.im)
+    Zh = np.asarray(Z.re) + 1j * np.asarray(Z.im)
+    scale = max(np.abs(Ah).max(), 1.0)
+    assert np.abs(Zh.conj().T @ Zh - np.eye(n)).max() < tol
+    assert np.abs(Zh @ Th @ Zh.conj().T - Ah).max() / scale < tol
+    assert np.abs(np.tril(Th, -1)).max() == 0.0  # exact triangularity
+    ev = np.sort_complex(np.diag(Th))
+    evr = np.sort_complex(np.linalg.eigvals(Ah.astype(np.complex128)))
+    assert np.abs(ev - evr).max() / np.abs(evr).max() < tol
+
+
+@pytest.mark.parametrize("n,seed", [(2, 0), (8, 1), (33, 2), (48, 3)])
+def test_schur_pallas_random(n, seed):
+    rng = np.random.default_rng(seed)
+    Ah = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    A = cx.from_numpy(Ah, jnp.float32)
+    T, Z = pallas_eig.schur_pallas(A, interpret=True)
+    _check(Ah, T, Z, 2e-5)
+
+
+def test_schur_pallas_defective_and_real():
+    # repeated eigenvalues (Jordan-ish) + a purely real matrix
+    n = 12
+    rng = np.random.default_rng(5)
+    J = np.diag(np.full(n, 2.0)) + np.diag(np.ones(n - 1), 1)
+    S = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    Ah = S @ J @ np.linalg.inv(S)
+    A = cx.from_numpy(Ah, jnp.float32)
+    T, Z = pallas_eig.schur_pallas(A, interpret=True)
+    Th = np.asarray(T.re) + 1j * np.asarray(T.im)
+    Zh = np.asarray(Z.re) + 1j * np.asarray(Z.im)
+    assert np.abs(Zh.conj().T @ Zh - np.eye(n)).max() < 2e-5
+    # defective clusters: eigenvalues accurate only to sqrt-ish of eps;
+    # check the mean (trace is exact) and the reconstruction
+    scale = np.abs(Ah).max()
+    assert np.abs(Zh @ Th @ Zh.conj().T - Ah).max() / scale < 2e-5
+    assert abs(np.diag(Th).mean() - 2.0) < 1e-3
+
+    R = rng.standard_normal((8, 8))  # real spectrum pairs stay real-ish
+    A = cx.from_numpy(R + 0j, jnp.float32)
+    T, Z = pallas_eig.schur_pallas(A, interpret=True)
+    _check(R + 0j, T, Z, 5e-5)
+
+
+def test_schur_backend_gate_cpu_falls_back():
+    # on the forced-CPU test backend the gate must route to the XLA path
+    from feast_tpu.ops import eig as eigmod
+
+    n = 6
+    rng = np.random.default_rng(7)
+    Ah = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    A = cx.from_numpy(Ah, jnp.float32)
+    assert eigmod._SCHUR_BACKEND == "pallas"  # default
+    T, Z = eigmod.schur(A)  # CPU backend -> XLA formulation, no pallas
+    Th = np.asarray(T.re) + 1j * np.asarray(T.im)
+    ev = np.sort_complex(np.diag(Th))
+    evr = np.sort_complex(np.linalg.eigvals(Ah))
+    assert np.abs(ev - evr).max() / np.abs(evr).max() < 1e-4
