@@ -25,6 +25,7 @@ from jax import lax
 
 from .. import cx
 from ..cx import CX
+from . import lu as lumod
 
 
 def _outer(v: CX, w: CX) -> CX:
@@ -354,6 +355,85 @@ def _rq_refine(A: CX, w: CX, V: CX, U: CX, kappa_max: float = 1e4):
     return cx.where(use, w_rq, w)
 
 
+def _ii_polish(A: CX, lam: CX, V: CX, steps: int = 2):
+    """Batched inverse-iteration polish of approximate eigenpairs.
+
+    Each step: Rayleigh-quotient shifts lam_j = v_j^H A v_j (short dots —
+    dd-accurate on chip), then one batched solve (A - lam_j I) y_j = v_j
+    (m small LUs, vmapped — rank-1 panel steps cost the same wall for the
+    whole batch as for one matrix on TPU).  Exact-shift near-singularity
+    is the classic II behavior: partial pivoting + the eps-scaled
+    zero-pivot guard in lu._panel_lu make the solve return a vector
+    dominated by the eigendirection."""
+    n = A.shape[0]
+    eyer = jnp.eye(n, dtype=A.re.dtype)
+
+    def rq(V):
+        AV = cx.cmatmul(A, V)
+        return cx.cdot_cols(V, AV)
+
+    for _ in range(steps):
+        lam = rq(V)
+        Sb = CX(A.re[None] - lam.re[:, None, None] * eyer[None],
+                A.im[None] - lam.im[:, None, None] * eyer[None])
+        rhs = CX(V.re.T[:, :, None], V.im.T[:, :, None])
+        Y = lumod.solve_batched(Sb, rhs)
+        V = cx.normalize_cols(CX(Y.re[:, :, 0].T, Y.im[:, :, 0].T))
+    return rq(V), V
+
+
+def eig_mixed(A: CX, ii_steps: int = 2):
+    """Mixed-precision eig: f32 Schur + batched f64 inverse-iteration
+    polish — the eigensolver analog of the f32-LU + f64-IR dense path.
+
+    On TPU the f32 Schur is the single-launch Pallas kernel
+    (ops/pallas_eig.py, ~29 ms at n=48) and the f64 work is GEMMs plus
+    `ii_steps` batched (m, n, n) small LUs — no sequential QR sweeps in
+    emulated f64 (the all-f64 Schur costs ~0.55 s at m0=48; see the
+    CLAUDE.md chip cost model).  Accuracy: II with per-pair RQ shifts
+    recovers f64-grade residuals when the f32 Schur resolves the pair
+    (gap >> eps32*||A||); for tighter clusters the polish matches the
+    ~1e-9 drift the all-f64 device path already shows on late clustered
+    reduced pencils (r3 note b)."""
+    if A.re.dtype == jnp.float32:
+        return eig(A)
+    A32 = A.astype(jnp.float32)
+    T32, Z32 = schur(A32)
+    Y32 = tri_eigvecs(T32)
+    V = cx.normalize_cols(Z32 @ Y32).astype(A.re.dtype)
+    lam0 = CX(jnp.diagonal(T32.re).astype(A.re.dtype),
+              jnp.diagonal(T32.im).astype(A.re.dtype))
+    lam, V = _ii_polish(A, lam0, V, ii_steps)
+    return lam, V
+
+
+_EIG_MODE = "mixed"
+
+
+def set_eig_mode(name: str):
+    """f64 eig strategy on TPU: "mixed" (default — f32 Pallas Schur +
+    batched f64 inverse-iteration polish, with a residual-guarded
+    lax.cond fallback to the full f64 path when a cluster defeats the
+    polish) or "full" (always the f64 Schur iteration).  CPU always uses
+    "full" (the mixed path's win is chip dispatch latency)."""
+    global _EIG_MODE
+    if name not in ("full", "mixed"):
+        raise ValueError(f"unknown eig mode {name!r}")
+    _EIG_MODE = name
+
+
+def _eig_full(A: CX, refine_rq: bool = True):
+    T, Z = schur(A)
+    w = CX(jnp.diagonal(T.re), jnp.diagonal(T.im))
+    Y = tri_eigvecs(T)
+    V = Z @ Y
+    if refine_rq:
+        U = Z @ tri_unit_inv(Y).H
+        w = _rq_refine(A, w, V, U)
+    V = cx.normalize_cols(V)
+    return w, V
+
+
 def eig(A: CX, refine_rq: bool = True):
     """Eigenvalues and right eigenvectors of a dense complex matrix.
 
@@ -361,7 +441,26 @@ def eig(A: CX, refine_rq: bool = True):
     TPU-native replacement for LAPACK zgeev (`eigen!`, feast.jl:45).
     refine_rq polishes each Ritz value with a guarded two-sided Rayleigh
     quotient (left vectors from the unit-triangular Y inverse — one extra
-    back-substitution)."""
+    back-substitution).
+
+    f64 on TPU defaults to the guarded mixed path (set_eig_mode): f32
+    single-launch Pallas Schur + 3 steps of batched f64 RQI polish
+    (~0.1 s vs ~0.55 s all-f64 at m0=48); a reduced-space residual check
+    falls back to the full f64 Schur via lax.cond when the f32 stage
+    cannot resolve a cluster (gap < eps32*||A||) — measured: RQI stalls
+    at ~cluster-width residuals there, while every resolvable spectrum
+    reaches <=1e-12 relative in 3 steps."""
+    n = A.shape[0]
+    if (_EIG_MODE == "mixed" and A.re.dtype != jnp.float32 and 2 <= n <= 128
+            and jax.default_backend() not in ("cpu",)):
+        lam_m, V_m = eig_mixed(A, ii_steps=3)
+        AV = cx.cmatmul(A, V_m)
+        R = AV - cx.scale_cols(V_m, lam_m)
+        scale = jnp.maximum(cx.fro_norm(A), 1.0)
+        ok = jnp.max(cx.col_norms(R)) <= 1e-12 * scale * float(n) ** 0.5
+
+        return lax.cond(ok, lambda _: (lam_m, V_m),
+                        lambda _: _eig_full(A, refine_rq), operand=None)
     T, Z = schur(A)
     w = CX(jnp.diagonal(T.re), jnp.diagonal(T.im))
     Y = tri_eigvecs(T)

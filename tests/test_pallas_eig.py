@@ -71,3 +71,53 @@ def test_schur_backend_gate_cpu_falls_back():
     ev = np.sort_complex(np.diag(Th))
     evr = np.sort_complex(np.linalg.eigvals(Ah))
     assert np.abs(ev - evr).max() / np.abs(evr).max() < 1e-4
+
+
+def test_eig_mixed_accuracy():
+    """f32 Schur + f64 RQI polish reaches f64-grade residuals whenever the
+    f32 stage resolves the spectrum (the TPU fine-tier RR path)."""
+    from feast_tpu.ops import eig as eigmod
+
+    rng = np.random.default_rng(11)
+    n = 32
+    for Ah in (
+        rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n)),
+        # moderately clustered (resolvable at f32)
+        None,
+    ):
+        if Ah is None:
+            S = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+            lam = 1.0 + 1e-3 * (rng.standard_normal(n)
+                                + 1j * rng.standard_normal(n))
+            Ah = S @ np.diag(lam) @ np.linalg.inv(S)
+        A = cx.from_numpy(Ah, jnp.float64)
+        w, V = eigmod.eig_mixed(A, ii_steps=3)
+        wh = np.asarray(w.re) + 1j * np.asarray(w.im)
+        Vh = np.asarray(V.re) + 1j * np.asarray(V.im)
+        res = np.linalg.norm(Ah @ Vh - Vh * wh[None, :], axis=0).max()
+        scale = np.linalg.norm(Ah)
+        assert res / scale < 1e-12, res
+        ref = np.sort_complex(np.linalg.eigvals(Ah))
+        assert np.abs(np.sort_complex(wh) - ref).max() / np.abs(ref).max() \
+            < 1e-10
+
+
+def test_eig_mixed_guard_detects_cluster():
+    """A sub-f32 cluster defeats the RQI polish; the eig() guard metric
+    (reduced residual) must flag it so lax.cond falls back to full f64."""
+    from feast_tpu.ops import eig as eigmod
+
+    rng = np.random.default_rng(12)
+    n = 24
+    S = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    lam = 1.0 + 1e-8 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    Ah = S @ np.diag(lam) @ np.linalg.inv(S)
+    A = cx.from_numpy(Ah, jnp.float64)
+    w, V = eigmod.eig_mixed(A, ii_steps=3)
+    wh = np.asarray(w.re) + 1j * np.asarray(w.im)
+    Vh = np.asarray(V.re) + 1j * np.asarray(V.im)
+    res = np.linalg.norm(Ah @ Vh - Vh * wh[None, :], axis=0).max()
+    scale = float(np.linalg.norm(Ah))
+    # the guard threshold used in eig(): 1e-12 * fro * sqrt(n)
+    assert res > 1e-12 * scale * n ** 0.5, \
+        "cluster unexpectedly converged; guard threshold may be too loose"
