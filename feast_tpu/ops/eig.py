@@ -517,6 +517,57 @@ def gen_eig(A: CX, B: CX, refine_rq: bool = True):
     (w^H C = lam w^H  =>  (B^{-H}w)^H A = lam (B^{-H}w)^H B), costing one
     extra small LU of B^H.  Returns (w, V) with A V ~= B V diag(w).
     """
+    n = A.shape[0]
+    if (_EIG_MODE == "mixed" and A.re.dtype != jnp.float32 and 2 <= n <= 128
+            and jax.default_backend() not in ("cpu",)):
+        lam_m, V_m = _gen_eig_mixed(A, B)
+        R = cx.cmatmul(A, V_m) - cx.scale_cols(cx.cmatmul(B, V_m), lam_m)
+        scale = jnp.maximum(cx.fro_norm(A)
+                            + jnp.max(cx.cabs(lam_m)) * cx.fro_norm(B), 1.0)
+        ok = jnp.max(cx.col_norms(R)) <= 1e-12 * scale * float(n) ** 0.5
+        return lax.cond(ok, lambda _: (lam_m, V_m),
+                        lambda _: _gen_eig_full(A, B, refine_rq),
+                        operand=None)
+    return _gen_eig_full(A, B, refine_rq)
+
+
+def _gen_eig_mixed(A: CX, B: CX, ii_steps: int = 3):
+    """f32 Schur seed + batched f64 PENCIL inverse iteration: each step
+    solves (A - lam_j B) y_j = B v_j with pencil Rayleigh-quotient
+    shifts lam_j = (v^H A v)/(v^H B v).  The generalized analog of
+    eig_mixed — no f64 sequential QR sweeps.  Guarded by the caller."""
+    from . import lu as lumod
+
+    n = A.shape[0]
+    LU, perm = lumod.lu_factor(B)
+    C = lumod.lu_solve(LU, perm, A)
+    T32, Z32 = schur(C.astype(jnp.float32))
+    Y32 = tri_eigvecs(T32)
+    V = cx.normalize_cols(Z32 @ Y32).astype(A.re.dtype)
+
+    def rq(V):
+        num = cx.cdot_cols(V, cx.cmatmul(A, V))
+        den = cx.cdot_cols(V, cx.cmatmul(B, V))
+        dmag = cx.cabs(den)
+        safe = dmag > 0
+        return cx.cdiv(num, cx.where(safe, den, cx.as_cx(1.0, A.dtype)))
+
+    lam = rq(V)
+    for _ in range(ii_steps):
+        Sb = CX(
+            A.re[None] - (lam.re[:, None, None] * B.re
+                          - lam.im[:, None, None] * B.im)[..., :, :],
+            A.im[None] - (lam.re[:, None, None] * B.im
+                          + lam.im[:, None, None] * B.re)[..., :, :])
+        BV = cx.cmatmul(B, V)
+        rhs = CX(BV.re.T[:, :, None], BV.im.T[:, :, None])
+        Y = lumod.solve_batched(Sb, rhs)
+        V = cx.normalize_cols(CX(Y.re[:, :, 0].T, Y.im[:, :, 0].T))
+        lam = rq(V)
+    return lam, V
+
+
+def _gen_eig_full(A: CX, B: CX, refine_rq: bool = True):
     from . import lu as lumod
 
     LU, perm = lumod.lu_factor(B)

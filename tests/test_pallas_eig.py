@@ -121,3 +121,27 @@ def test_eig_mixed_guard_detects_cluster():
     # the guard threshold used in eig(): 1e-12 * fro * sqrt(n)
     assert res > 1e-12 * scale * n ** 0.5, \
         "cluster unexpectedly converged; guard threshold may be too loose"
+
+
+def test_gen_eig_mixed_accuracy():
+    """Pencil analog: f32 Schur seed + batched f64 pencil RQI (the
+    generalized fine-tier RR path on TPU)."""
+    import scipy.linalg as sla
+
+    from feast_tpu.ops import eig as eigmod
+
+    rng = np.random.default_rng(14)
+    n = 24
+    Ah = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    Bh = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n)) \
+        + 4 * np.eye(n)
+    A = cx.from_numpy(Ah, jnp.float64)
+    B = cx.from_numpy(Bh, jnp.float64)
+    w, V = eigmod._gen_eig_mixed(A, B)
+    wh = np.asarray(w.re) + 1j * np.asarray(w.im)
+    Vh = np.asarray(V.re) + 1j * np.asarray(V.im)
+    R = Ah @ Vh - (Bh @ Vh) * wh[None, :]
+    scale = np.linalg.norm(Ah) + np.abs(wh).max() * np.linalg.norm(Bh)
+    assert np.linalg.norm(R, axis=0).max() / scale < 1e-13
+    ref = np.sort_complex(sla.eig(Ah, Bh, right=False))
+    assert np.abs(np.sort_complex(wh) - ref).max() / np.abs(ref).max() < 1e-11
