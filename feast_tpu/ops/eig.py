@@ -382,6 +382,24 @@ def _ii_polish(A: CX, lam: CX, V: CX, steps: int = 2):
     return rq(V), V
 
 
+def _pallas_gate(dtype, n: int) -> bool:
+    return (_SCHUR_BACKEND == "pallas" and dtype == jnp.float32
+            and 2 <= n <= 128 and jax.default_backend() not in ("cpu",))
+
+
+def _schur_vecs32(A32: CX):
+    """(T, Z, Y, X) of an f32 matrix — one Pallas launch on TPU (the
+    kernel back-substitutes Y and X = Y^{-1} in-kernel), or the XLA
+    pieces elsewhere."""
+    if _pallas_gate(A32.re.dtype, A32.shape[0]):
+        from . import pallas_eig
+
+        return pallas_eig.schur_pallas(A32, want_y=True)
+    T, Z = schur(A32)
+    Y = tri_eigvecs(T)
+    return T, Z, Y, tri_unit_inv(Y)
+
+
 def eig_mixed(A: CX, ii_steps: int = 2):
     """Mixed-precision eig: f32 Schur + batched f64 inverse-iteration
     polish — the eigensolver analog of the f32-LU + f64-IR dense path.
@@ -398,8 +416,7 @@ def eig_mixed(A: CX, ii_steps: int = 2):
     if A.re.dtype == jnp.float32:
         return eig(A)
     A32 = A.astype(jnp.float32)
-    T32, Z32 = schur(A32)
-    Y32 = tri_eigvecs(T32)
+    T32, Z32, Y32, _ = _schur_vecs32(A32)
     V = cx.normalize_cols(Z32 @ Y32).astype(A.re.dtype)
     lam0 = CX(jnp.diagonal(T32.re).astype(A.re.dtype),
               jnp.diagonal(T32.im).astype(A.re.dtype))
@@ -461,6 +478,15 @@ def eig(A: CX, refine_rq: bool = True):
 
         return lax.cond(ok, lambda _: (lam_m, V_m),
                         lambda _: _eig_full(A, refine_rq), operand=None)
+    if _pallas_gate(A.re.dtype, n):
+        # f32 on TPU: the whole decomposition (T, Z, Y, Y^-1) is ONE
+        # Pallas launch; only the GEMMs + RQ refine stay in XLA
+        T, Z, Y, Yinv = _schur_vecs32(A)
+        w = CX(jnp.diagonal(T.re), jnp.diagonal(T.im))
+        V = Z @ Y
+        if refine_rq:
+            w = _rq_refine(A, w, V, Z @ Yinv.H)
+        return w, cx.normalize_cols(V)
     T, Z = schur(A)
     w = CX(jnp.diagonal(T.re), jnp.diagonal(T.im))
     Y = tri_eigvecs(T)
@@ -541,8 +567,7 @@ def _gen_eig_mixed(A: CX, B: CX, ii_steps: int = 3):
     n = A.shape[0]
     LU, perm = lumod.lu_factor(B)
     C = lumod.lu_solve(LU, perm, A)
-    T32, Z32 = schur(C.astype(jnp.float32))
-    Y32 = tri_eigvecs(T32)
+    T32, Z32, Y32, _ = _schur_vecs32(C.astype(jnp.float32))
     V = cx.normalize_cols(Z32 @ Y32).astype(A.re.dtype)
 
     def rq(V):

@@ -39,13 +39,14 @@ from ..cx import CX
 _INTERPRET = False
 
 
-def _schur_kernel(n: int, max_sweeps_per_eig: int, stop_after: str = ""):
+def _schur_kernel(n: int, max_sweeps_per_eig: int, stop_after: str = "",
+                  want_y: bool = False):
     from jax.experimental import pallas as pl
 
     def rds(start, size: int = 1):
         return (pl.ds(start, size), slice(None))
 
-    def kernel(ar_in, ai_in, tr_ref, ti_ref, zr_ref, zi_ref):
+    def kernel(ar_in, ai_in, tr_ref, ti_ref, zr_ref, zi_ref, *y_refs):
         # explicit copy-in, NOT input_output_aliases: through the remote
         # axon backend an aliased pallas parameter returned stale/zero
         # results on the first call and corrupted the caller's buffer on
@@ -306,42 +307,136 @@ def _schur_kernel(n: int, max_sweeps_per_eig: int, stop_after: str = ""):
         tr_ref[:] = jnp.where(tri, tr_ref[:], 0.0)
         ti_ref[:] = jnp.where(tri, ti_ref[:], 0.0)
 
+        if not want_y:
+            return
+        # ---- tri_eigvecs + tri_unit_inv in-kernel (ops/eig.py:273-331)
+        # — the two remaining sequential back-substitutions of the f32
+        # eig, each a fori of masked full-array ops ----
+        yr_ref, yi_ref, xr_ref, xi_ref = y_refs
+        yr_ref[:] = eye
+        yi_ref[:] = jnp.zeros_like(eye)
+        dsel = rows2 == cols2
+        lamr = jnp.sum(jnp.where(dsel, tr_ref[:], 0.0), axis=0,
+                       keepdims=True)                       # (1,n) diag(T)
+        lami = jnp.sum(jnp.where(dsel, ti_ref[:], 0.0), axis=0,
+                       keepdims=True)
+        tnorm = jnp.sqrt(jnp.sum(tr_ref[:] * tr_ref[:]
+                                 + ti_ref[:] * ti_ref[:]))
+        smln = eps * jnp.maximum(tnorm, 1.0)
+
+        def y_step(t, _):
+            j = jnp.int32(n - 2) - t
+            trow_r0 = tr_ref[rds(j)]
+            trow_i0 = ti_ref[rds(j)]
+            jmask = colsr == j
+            cmask = colsr > j
+            tjj_r = jnp.sum(jnp.where(jmask, trow_r0, 0.0))
+            tjj_i = jnp.sum(jnp.where(jmask, trow_i0, 0.0))
+            trow_r = jnp.where(cmask, trow_r0, 0.0)
+            trow_i = jnp.where(cmask, trow_i0, 0.0)
+            # row -> column layout (transpose trick)
+            tcol_r = jnp.sum(trow_r * eye, axis=1, keepdims=True)
+            tcol_i = jnp.sum(trow_i * eye, axis=1, keepdims=True)
+            Yr = yr_ref[:]
+            Yi = yi_ref[:]
+            num_r = jnp.sum(tcol_r * Yr - tcol_i * Yi, axis=0,
+                            keepdims=True)
+            num_i = jnp.sum(tcol_r * Yi + tcol_i * Yr, axis=0,
+                            keepdims=True)
+            den_r = tjj_r - lamr
+            den_i = tjj_i - lami
+            dmag = jnp.sqrt(den_r * den_r + den_i * den_i)
+            small = dmag < smln
+            den_r = jnp.where(small, smln, den_r)
+            den_i = jnp.where(small, 0.0, den_i)
+            d2 = den_r * den_r + den_i * den_i
+            val_r = -(num_r * den_r + num_i * den_i) / d2
+            val_i = -(num_i * den_r - num_r * den_i) / d2
+            yr_ref[rds(j)] = jnp.where(jmask, 1.0,
+                                       jnp.where(cmask, val_r, 0.0))
+            yi_ref[rds(j)] = jnp.where(cmask, val_i, 0.0)
+            return jnp.int32(0)
+
+        if n > 1:
+            lax.fori_loop(jnp.int32(0), jnp.int32(n - 1), y_step,
+                          jnp.int32(0))
+
+        # X = Y^{-1} (unit upper triangular): row j = e_j - Y[j,j+1:] X
+        xr_ref[:] = eye
+        xi_ref[:] = jnp.zeros_like(eye)
+
+        def x_step(t, _):
+            j = jnp.int32(n - 2) - t
+            yrow_r = yr_ref[rds(j)]
+            yrow_i = yi_ref[rds(j)]
+            jmask = colsr == j
+            cmask = colsr > j
+            yrow_r = jnp.where(cmask, yrow_r, 0.0)
+            yrow_i = jnp.where(cmask, yrow_i, 0.0)
+            ycol_r = jnp.sum(yrow_r * eye, axis=1, keepdims=True)
+            ycol_i = jnp.sum(yrow_i * eye, axis=1, keepdims=True)
+            Xr = xr_ref[:]
+            Xi = xi_ref[:]
+            num_r = jnp.sum(ycol_r * Xr - ycol_i * Xi, axis=0,
+                            keepdims=True)
+            num_i = jnp.sum(ycol_r * Xi + ycol_i * Xr, axis=0,
+                            keepdims=True)
+            xr_ref[rds(j)] = jnp.where(jmask, 1.0, -num_r)
+            xi_ref[rds(j)] = jnp.where(jmask, 0.0, -num_i)
+            return jnp.int32(0)
+
+        if n > 1:
+            lax.fori_loop(jnp.int32(0), jnp.int32(n - 1), x_step,
+                          jnp.int32(0))
+
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("max_sweeps_per_eig",
-                                             "interpret", "stop_after"))
+                                             "interpret", "stop_after",
+                                             "want_y"))
 def schur_pallas(A: CX, max_sweeps_per_eig: int = 30,
-                 interpret: bool = False, stop_after: str = ""):
+                 interpret: bool = False, stop_after: str = "",
+                 want_y: bool = False):
     """Complex Schur decomposition A = Z T Z^H, one Pallas launch.
 
     f32 only (Mosaic has no emulated f64); n <= 128 (single lane tile —
-    the reduced-eig sizes FEAST uses).  Drop-in for ops/eig.schur."""
+    the reduced-eig sizes FEAST uses).  Drop-in for ops/eig.schur.
+
+    want_y=True additionally back-substitutes the triangular
+    eigenvectors Y and their unit-triangular inverse X = Y^{-1} inside
+    the same launch (ops/eig.py tri_eigvecs / tri_unit_inv semantics)
+    and returns (T, Z, Y, X) — the full f32 eig with zero extra
+    dispatches."""
     from jax.experimental import pallas as pl
 
     n = A.shape[0]
     if n == 1:
-        return A, CX(jnp.ones((1, 1), A.re.dtype),
-                     jnp.zeros((1, 1), A.re.dtype))
+        one = CX(jnp.ones((1, 1), A.re.dtype),
+                 jnp.zeros((1, 1), A.re.dtype))
+        if want_y:
+            return A, one, one, one
+        return A, one
     assert A.re.dtype == jnp.float32, "schur_pallas is f32-only"
     assert n <= 128, "schur_pallas: single lane tile (n <= 128)"
     from jax.experimental.pallas import tpu as pltpu
 
-    kern = _schur_kernel(n, max_sweeps_per_eig, stop_after)
-    # explicit VMEM specs: with the default (ANY) specs the aliased
-    # inputs never seeded the output refs on the real chip (T came back
-    # all-zero while interpret mode passed) — same setup as pallas_lu
+    kern = _schur_kernel(n, max_sweeps_per_eig, stop_after, want_y)
+    # explicit VMEM specs; NO input_output_aliases: through the remote
+    # axon backend an aliased jit parameter returned stale/zero results
+    # (the kernel copies its input in explicitly)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    tr, ti, zr, zi = pl.pallas_call(
+    n_out = 8 if want_y else 4
+    mat = jax.ShapeDtypeStruct((n, n), A.re.dtype)
+    out = pl.pallas_call(
         kern,
-        out_shape=(
-            jax.ShapeDtypeStruct((n, n), A.re.dtype),
-            jax.ShapeDtypeStruct((n, n), A.re.dtype),
-            jax.ShapeDtypeStruct((n, n), A.re.dtype),
-            jax.ShapeDtypeStruct((n, n), A.re.dtype),
-        ),
+        out_shape=(mat,) * n_out,
         in_specs=[vmem, vmem],
-        out_specs=(vmem, vmem, vmem, vmem),
+        out_specs=(vmem,) * n_out,
         interpret=interpret or _INTERPRET,
     )(A.re, A.im)
+    if want_y:
+        tr, ti, zr, zi, yr, yi, xr, xi = out
+        return CX(tr, ti), CX(zr, zi), CX(yr, yi), CX(xr, xi)
+    tr, ti, zr, zi = out
     return CX(tr, ti), CX(zr, zi)

@@ -145,3 +145,29 @@ def test_gen_eig_mixed_accuracy():
     assert np.linalg.norm(R, axis=0).max() / scale < 1e-13
     ref = np.sort_complex(sla.eig(Ah, Bh, right=False))
     assert np.abs(np.sort_complex(wh) - ref).max() / np.abs(ref).max() < 1e-11
+
+
+def test_schur_pallas_want_y_matches_xla_backsub():
+    """want_y returns the in-kernel tri_eigvecs/tri_unit_inv results —
+    must match the XLA back-substitutions on the same T."""
+    from feast_tpu.ops import eig as eigmod
+
+    rng = np.random.default_rng(21)
+    n = 24
+    Ah = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    A = cx.from_numpy(Ah, jnp.float32)
+    T, Z, Y, X = pallas_eig.schur_pallas(A, want_y=True, interpret=True)
+    Yx = eigmod.tri_eigvecs(T)
+    Xx = eigmod.tri_unit_inv(Yx)
+    for got, ref in ((Y, Yx), (X, Xx)):
+        d = np.abs((np.asarray(got.re) + 1j * np.asarray(got.im))
+                   - (np.asarray(ref.re) + 1j * np.asarray(ref.im))).max()
+        assert d < 5e-5, d
+    # V = Z Y are eigenvectors of A
+    Th = np.asarray(T.re) + 1j * np.asarray(T.im)
+    V = (np.asarray(Z.re) + 1j * np.asarray(Z.im)) @ \
+        (np.asarray(Y.re) + 1j * np.asarray(Y.im))
+    V = V / np.linalg.norm(V, axis=0, keepdims=True)
+    lam = np.diag(Th)
+    res = np.linalg.norm(Ah @ V - V * lam[None, :], axis=0).max()
+    assert res / np.abs(Ah).max() < 5e-5
