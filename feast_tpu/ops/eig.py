@@ -220,9 +220,7 @@ def schur(A: CX, max_sweeps_per_eig: int = 30):
     n = A.shape[0]
     if n == 1:
         return A, cx.eye(1, A.dtype)
-    if (_SCHUR_BACKEND == "pallas" and A.re.dtype == jnp.float32
-            and 2 <= n <= 128
-            and jax.default_backend() not in ("cpu",)):
+    if _pallas_gate(A.re.dtype, n, A.re):
         from . import pallas_eig
 
         return pallas_eig.schur_pallas(A, max_sweeps_per_eig)
@@ -382,7 +380,15 @@ def _ii_polish(A: CX, lam: CX, V: CX, steps: int = 2):
     return rq(V), V
 
 
-def _pallas_gate(dtype, n: int) -> bool:
+def _pallas_gate(dtype, n: int, operand=None) -> bool:
+    if operand is not None:
+        # vmapped pallas_call trips a Mosaic func.return legalization
+        # error (i64 carries reappear under the grid-batching rule,
+        # measured r4) — the sliced/vmapped drivers take the XLA path.
+        # BatchTracer moved under jax._src in recent jax; match by name
+        # so this survives relocations.
+        if "Batch" in type(operand).__name__:
+            return False
     return (_SCHUR_BACKEND == "pallas" and dtype == jnp.float32
             and 2 <= n <= 128 and jax.default_backend() not in ("cpu",))
 
@@ -391,7 +397,7 @@ def _schur_vecs32(A32: CX):
     """(T, Z, Y, X) of an f32 matrix — one Pallas launch on TPU (the
     kernel back-substitutes Y and X = Y^{-1} in-kernel), or the XLA
     pieces elsewhere."""
-    if _pallas_gate(A32.re.dtype, A32.shape[0]):
+    if _pallas_gate(A32.re.dtype, A32.shape[0], A32.re):
         from . import pallas_eig
 
         return pallas_eig.schur_pallas(A32, want_y=True)
@@ -478,7 +484,7 @@ def eig(A: CX, refine_rq: bool = True):
 
         return lax.cond(ok, lambda _: (lam_m, V_m),
                         lambda _: _eig_full(A, refine_rq), operand=None)
-    if _pallas_gate(A.re.dtype, n):
+    if _pallas_gate(A.re.dtype, n, A.re):
         # f32 on TPU: the whole decomposition (T, Z, Y, Y^-1) is ONE
         # Pallas launch; only the GEMMs + RQ refine stay in XLA
         T, Z, Y, Yinv = _schur_vecs32(A)
