@@ -401,8 +401,12 @@ def lu_factor(A: CX, block: int = 0, loop: str = "auto"):
     n = A.shape[0]
     assert A.shape[0] == A.shape[1], "lu_factor expects square matrices"
     if loop == "auto":
+        # n <= 4096: the whole-panel kernel holds the full (n, 128) slab
+        # pair + perm + body temps in VMEM — measured 19.71M > the 16M
+        # scoped limit at n=8192 (block=64 does not help: the minor dim
+        # pads back to the 128-lane tile).  Larger n stays on XLA.
         if (_PANEL_BACKEND == "pallas" and A.re.dtype == jnp.float32
-                and n % 128 == 0 and n >= 1024
+                and n % 128 == 0 and 1024 <= n <= 4096
                 and jax.default_backend() not in ("cpu",)):
             loop = "pallas"
         else:
