@@ -74,6 +74,16 @@ class Contour:
             return float(max(self.params[2], self.params[3]))
         return float(np.max(np.abs(np.asarray(self.nodes) - self.center)))
 
+    @property
+    def spectral_scale(self) -> float:
+        """max |z| over the quadrature nodes — the magnitude of the
+        largest eigenvalue the slice can contain.  Used by the drivers'
+        tol_mode="contour" to turn the reference's ABSOLUTE residual
+        tolerance (utils.jl:166-171) into a scale-aware one: an interior
+        slice at |lambda| ~ 1e9 can never reach an absolute 1e-10 in
+        f64 (that would be 1e-19 relative)."""
+        return float(np.max(np.abs(np.asarray(self.nodes))))
+
     def device_nodes(self, dtype=jnp.float64) -> cx.CX:
         return cx.from_numpy(np.asarray(self.nodes), dtype)
 

@@ -582,13 +582,26 @@ def _prepare(A, B, X0, contour, c, r, nodes, dtype):
     return A, B, X, contour, z, w
 
 
+def _resolve_tol(tol: float, tol_mode: str, contour) -> float:
+    """tol_mode "abs": the reference's absolute-residual convention
+    (utils.jl:166-171).  "contour": scale tol by the contour's spectral
+    magnitude max|z| so the same number means the same RELATIVE accuracy
+    on every slice (an interior slice at |lambda|~1e9 can never reach an
+    absolute 1e-10 in f64)."""
+    if tol_mode == "abs":
+        return float(tol)
+    if tol_mode == "contour":
+        return float(tol) * max(contour.spectral_scale, 1.0)
+    raise ValueError(f"unknown tol_mode {tol_mode!r} (abs|contour)")
+
+
 def feast(A, X0, contour: Optional[ct.Contour] = None, *,
           c: complex = 0.0 + 0.0j, r: float = 1.0, nodes: int = 8,
           iters: int = 10, tol: float = 1e-12, store: bool = True,
           mixed_prec: bool = False, ortho: str = "cholqr2",
           block: int = 64, debug: bool = False, mesh=None, rr: str = "device",
           hermitian: bool = False, node_scan: Optional[bool] = None,
-          node_loop: Optional[bool] = None,
+          node_loop: Optional[bool] = None, tol_mode: str = "abs",
           callback: Optional[Callable] = None) -> FeastResult:
     """Standard linear FEAST: eigenpairs of A inside the contour.
 
@@ -612,7 +625,8 @@ def feast(A, X0, contour: Optional[ct.Contour] = None, *,
     """
     return _drive(A, None, X0, contour, c, r, nodes, iters, tol, store,
                   mixed_prec, ortho, block, debug, callback, mesh, rr,
-                  "hermitian" if hermitian else "lu", node_scan, node_loop)
+                  "hermitian" if hermitian else "lu", node_scan, node_loop,
+                  tol_mode)
 
 
 def gen_feast(A, B, X0, contour: Optional[ct.Contour] = None, *,
@@ -622,7 +636,7 @@ def gen_feast(A, B, X0, contour: Optional[ct.Contour] = None, *,
               block: int = 64, debug: bool = False, mesh=None,
               rr: str = "device", pencil: str = "lu",
               node_scan: Optional[bool] = None,
-              node_loop: Optional[bool] = None,
+              node_loop: Optional[bool] = None, tol_mode: str = "abs",
               callback: Optional[Callable] = None) -> FeastResult:
     """Generalized linear FEAST: A x = lam B x inside the contour
     (gen_feast!, feast.jl:82-156).
@@ -634,7 +648,7 @@ def gen_feast(A, B, X0, contour: Optional[ct.Contour] = None, *,
         raise ValueError("gen_feast requires B; use feast() for B=I")
     return _drive(A, B, X0, contour, c, r, nodes, iters, tol, store,
                   mixed_prec, ortho, block, debug, callback, mesh, rr,
-                  pencil, node_scan, node_loop)
+                  pencil, node_scan, node_loop, tol_mode)
 
 
 def _node_scan_auto(n: int, n_nodes: int) -> bool:
@@ -658,9 +672,11 @@ def _drive(A, B, X0, contour, c, r, nodes, iters, tol, store,
            mixed_prec, ortho, block, debug, callback, mesh=None,
            rr: str = "device", pencil: str = "lu",
            node_scan: Optional[bool] = None,
-           node_loop: Optional[bool] = None) -> FeastResult:
+           node_loop: Optional[bool] = None,
+           tol_mode: str = "abs") -> FeastResult:
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     A, B, Q, contour, z, w = _prepare(A, B, X0, contour, c, r, nodes, dtype)
+    tol = _resolve_tol(tol, tol_mode, contour)
     solve_f32 = bool(mixed_prec)
     if node_loop is None:
         node_loop = mesh is None and _node_loop_auto(
@@ -879,6 +895,7 @@ def dual_gen_feast(A, B, Xr0, Xl0, contour: Optional[ct.Contour] = None, *,
                    c: complex = 0.0 + 0.0j, r: float = 1.0, nodes: int = 8,
                    iters: int = 10, tol: float = 1e-12, store: bool = True,
                    mixed_prec: bool = False, rr: str = "device", mesh=None,
+                   tol_mode: str = "abs",
                    debug: bool = False) -> DualFeastResult:
     """Two-sided generalized FEAST (dual_gen_feast!, feast.jl:158-257):
     refines right and left subspaces, node solves with A - zB and its
@@ -891,6 +908,7 @@ def dual_gen_feast(A, B, Xr0, Xl0, contour: Optional[ct.Contour] = None, *,
     on host LAPACK, mesh shards the node axis of both factorizations."""
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     A, B, Qr, contour, z, w = _prepare(A, B, Xr0, contour, c, r, nodes, dtype)
+    tol = _resolve_tol(tol, tol_mode, contour)
     Ql = _as_cx_matrix(Xl0, dtype)
     validate_dims(A, B, Ql, "dual_gen_feast(left)")
     solve_f32 = bool(mixed_prec)
@@ -1069,7 +1087,8 @@ def feast_compiled(A, X0, contour: Optional[ct.Contour] = None, *,
                    mixed_prec: bool = False, pencil: str = "lu",
                    hermitian: bool = False,
                    node_scan: Optional[bool] = None,
-                   two_tier: Optional[bool] = None) -> FeastResult:
+                   two_tier: Optional[bool] = None,
+                   tol_mode: str = "abs") -> FeastResult:
     """feast/gen_feast with the entire refinement loop in one jit.
 
     Semantics match `feast`/`gen_feast` with store=True; convergence is
@@ -1089,6 +1108,7 @@ def feast_compiled(A, X0, contour: Optional[ct.Contour] = None, *,
         pencil = "hermitian"
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     A, B, Q, contour, z, w = _prepare(A, B, X0, contour, c, r, nodes, dtype)
+    tol = _resolve_tol(tol, tol_mode, contour)
     if _node_loop_auto(A.shape[0], z.shape[0], bool(mixed_prec)):
         # fail FAST (a doomed n=8192 compile costs ~9 min through the
         # remote tunnel before XLA's OOM): the single-jit loop stages a

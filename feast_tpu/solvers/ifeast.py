@@ -175,7 +175,7 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
                     rr: str = "device",
                     keep_q: bool = False,
                     reorder="auto",
-                    nit0: int = 0,
+                    nit0: int = 0, tol_mode: str = "abs",
                     debug: bool = False) -> FeastResult:
     """RII FEAST with matrix-free iterative node solves (sparse-ready).
 
@@ -271,6 +271,8 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
     n, m0 = X.shape
     if contour is None:
         contour = ct.circular_contour_trapezoidal(complex(c), float(r), nodes)
+    from .feast import _resolve_tol
+    tol = _resolve_tol(tol, tol_mode, contour)
     z = contour.device_nodes(dtype)
     w = contour.device_weights(dtype)
     N = len(contour)

@@ -403,3 +403,33 @@ def test_feast_compiled_two_tier_matches():
         np.testing.assert_allclose(np.sort(l2.real), np.sort(l1.real),
                                    rtol=1e-9)
         assert r2.max() < 1e-11
+
+
+def test_tol_mode_contour_scales_with_spectrum():
+    """tol_mode="contour" converges a slice whose eigenvalues are far too
+    large for an absolute 1e-12 target (the interior-slice trap: linear
+    residuals are ABSOLUTE, matching the reference utils.jl:166-171)."""
+    import numpy as np
+
+    from feast_tpu import cx
+    from feast_tpu.solvers.feast import feast
+
+    scale = 1e8
+    rng = np.random.default_rng(0)
+    A = np.diag(scale * np.arange(1.0, 26.0)).astype(complex)
+    A += scale * 0.01 * (rng.standard_normal((25, 25))
+                         + 1j * rng.standard_normal((25, 25)))
+    X0 = rng.standard_normal((25, 6)) + 1j * rng.standard_normal((25, 6))
+    out_abs = feast(cx.from_numpy(A), cx.from_numpy(X0),
+                    c=2.0 * scale + 0j, r=1.2 * scale, tol=1e-12, iters=6)
+    # absolute 1e-12 at |lam|~2e8 (= 5e-21 relative) cannot converge
+    assert not bool(out_abs.converged)
+    out = feast(cx.from_numpy(A), cx.from_numpy(X0),
+                c=2.0 * scale + 0j, r=1.2 * scale, tol=1e-12, iters=6,
+                tol_mode="contour")
+    assert bool(out.converged)
+    lam = np.sort(np.asarray(out.lam.re)[np.asarray(out.inside)])
+    ref = np.sort(np.linalg.eigvals(A).real)
+    ref = ref[(ref > 0.8 * scale) & (ref < 3.2 * scale)]
+    assert len(lam) == len(ref)
+    assert np.allclose(lam, ref, rtol=1e-9)
