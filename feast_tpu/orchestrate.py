@@ -41,9 +41,9 @@ _LOG = "log.jsonl"
 
 # feast_iterative kwargs a checkpointed run may carry (everything must be
 # JSON- or npz-serializable; mesh/callables/contour objects are not).
-_ALLOWED = {"r", "nodes", "tol", "solver", "solve_tol", "solve_iters",
-            "precondition", "spurious", "ortho", "node_chunk", "rr",
-            "reorder", "debug"}
+_ALLOWED = {"r", "nodes", "tol", "tol_mode", "solver", "solve_tol",
+            "solve_iters", "precondition", "spurious", "ortho",
+            "node_chunk", "rr", "reorder", "debug"}
 
 
 def _log(cdir, rec):

@@ -353,3 +353,28 @@ def test_feast_iterative_keep_q_stepping():
     np.testing.assert_allclose(np.sort(lam.real), want, atol=1e-10)
     # default: Q not kept
     assert ft.feast_iterative(L, None, X, iters=0, **kw).Q is None
+
+
+def test_feast_iterative_tol_mode_contour():
+    """tol_mode="contour" flows through the iterative driver: a scaled
+    slice converges where the absolute target cannot."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    from feast_tpu.solvers.ifeast import feast_iterative
+
+    n, scale = 200, 1e7
+    d = scale * np.arange(1.0, n + 1.0)
+    A = sp.diags(d).tocsr().astype(complex)
+    rng = np.random.default_rng(0)
+    X0 = rng.standard_normal((n, 6)) + 1j * rng.standard_normal((n, 6))
+    common = dict(c=2.5 * scale + 0j, r=2.0 * scale, nodes=8, iters=10,
+                  solver="bicgstab_rr", solve_tol=1e-12, solve_iters=300,
+                  precondition="jacobi")
+    out_abs = feast_iterative(A, None, X0, tol=1e-10, **common)
+    assert not bool(out_abs.converged)  # absolute 1e-10 at |lam|~1e7
+    out = feast_iterative(A, None, X0, tol=1e-10, tol_mode="contour",
+                          **common)
+    assert bool(out.converged)
+    got = np.sort(np.asarray(out.lam.re)[np.asarray(out.inside)])
+    assert np.allclose(got, d[:4], rtol=1e-8)
