@@ -405,8 +405,14 @@ def lu_factor(A: CX, block: int = 0, loop: str = "auto"):
         # pair + perm + body temps in VMEM — measured 19.71M > the 16M
         # scoped limit at n=8192 (block=64 does not help: the minor dim
         # pads back to the 128-lane tile).  Larger n stays on XLA.
+        # Batch-tracer check: under vmap+x64 the pallas grid-batching
+        # rule emits i64 index-map returns that Mosaic cannot legalize
+        # (same as ops/eig._pallas_gate) — vmapped factors (the small-n
+        # lu_factor_batched drivers) take the XLA path; scan-over-nodes
+        # (the headline _factor_scan) keeps the Pallas kernel.
         if (_PANEL_BACKEND == "pallas" and A.re.dtype == jnp.float32
                 and n % 128 == 0 and 1024 <= n <= 4096
+                and "Batch" not in type(A.re).__name__
                 and jax.default_backend() not in ("cpu",)):
             loop = "pallas"
         else:

@@ -145,8 +145,12 @@ def _panel_kernel(b: int, n: int, unroll: bool = False):
         else:
             # typed int32 bounds: python-int bounds trace as int64 under
             # x64 and 64-bit values don't lower in Mosaic
+            # jnp.int32 carries: python-int carries trace as i64 under
+            # x64 and surface in func.return under the vmap grid-batching
+            # rule, which Mosaic cannot legalize
             lax.fori_loop(jnp.int32(0), jnp.int32(b),
-                          lambda k, _: (step(k), 0)[1], 0)
+                          lambda k, _: (step(k), jnp.int32(0))[1],
+                          jnp.int32(0))
 
         # in-kernel inverse of the unit-lower diagonal block L11 (rows
         # j0..j0+b-1): deletes the 128-step TRSM from the host block loop
@@ -182,7 +186,8 @@ def _panel_kernel(b: int, n: int, unroll: bool = False):
                 inv_step(k)
         else:
             lax.fori_loop(jnp.int32(1), jnp.int32(b),
-                          lambda k, _: (inv_step(k), 0)[1], 0)
+                          lambda k, _: (inv_step(k), jnp.int32(0))[1],
+                          jnp.int32(0))
 
     return kernel
 
