@@ -393,17 +393,18 @@ def _pallas_gate(dtype, n: int, operand=None) -> bool:
             and 2 <= n <= 128 and jax.default_backend() not in ("cpu",))
 
 
-def _schur_vecs32(A32: CX):
-    """(T, Z, Y, X) of an f32 matrix — one Pallas launch on TPU (the
-    kernel back-substitutes Y and X = Y^{-1} in-kernel), or the XLA
-    pieces elsewhere."""
-    if _pallas_gate(A32.re.dtype, A32.shape[0], A32.re):
+def _schur_vecs32(A: CX, want_inv: bool = True):
+    """(T, Z, Y, X=Y^-1) — one Pallas launch for f32 on TPU (the kernel
+    back-substitutes Y and X in-kernel), the XLA pieces elsewhere (any
+    dtype).  want_inv=False skips the XLA tri_unit_inv (the Pallas
+    launch computes both regardless — it is in-VMEM-cheap)."""
+    if _pallas_gate(A.re.dtype, A.shape[0], A.re):
         from . import pallas_eig
 
-        return pallas_eig.schur_pallas(A32, want_y=True)
-    T, Z = schur(A32)
+        return pallas_eig.schur_pallas(A, want_y=True)
+    T, Z = schur(A)
     Y = tri_eigvecs(T)
-    return T, Z, Y, tri_unit_inv(Y)
+    return T, Z, Y, (tri_unit_inv(Y) if want_inv else None)
 
 
 def eig_mixed(A: CX, ii_steps: int = 2):
@@ -446,15 +447,12 @@ def set_eig_mode(name: str):
 
 
 def _eig_full(A: CX, refine_rq: bool = True):
-    T, Z = schur(A)
+    T, Z, Y, Yinv = _schur_vecs32(A, want_inv=refine_rq)
     w = CX(jnp.diagonal(T.re), jnp.diagonal(T.im))
-    Y = tri_eigvecs(T)
     V = Z @ Y
     if refine_rq:
-        U = Z @ tri_unit_inv(Y).H
-        w = _rq_refine(A, w, V, U)
-    V = cx.normalize_cols(V)
-    return w, V
+        w = _rq_refine(A, w, V, Z @ Yinv.H)
+    return w, cx.normalize_cols(V)
 
 
 def eig(A: CX, refine_rq: bool = True):
@@ -484,24 +482,11 @@ def eig(A: CX, refine_rq: bool = True):
 
         return lax.cond(ok, lambda _: (lam_m, V_m),
                         lambda _: _eig_full(A, refine_rq), operand=None)
-    if _pallas_gate(A.re.dtype, n, A.re):
-        # f32 on TPU: the whole decomposition (T, Z, Y, Y^-1) is ONE
-        # Pallas launch; only the GEMMs + RQ refine stay in XLA
-        T, Z, Y, Yinv = _schur_vecs32(A)
-        w = CX(jnp.diagonal(T.re), jnp.diagonal(T.im))
-        V = Z @ Y
-        if refine_rq:
-            w = _rq_refine(A, w, V, Z @ Yinv.H)
-        return w, cx.normalize_cols(V)
-    T, Z = schur(A)
-    w = CX(jnp.diagonal(T.re), jnp.diagonal(T.im))
-    Y = tri_eigvecs(T)
-    V = Z @ Y
-    if refine_rq:
-        U = Z @ tri_unit_inv(Y).H   # left eigenvectors, U^H V = I exactly
-        w = _rq_refine(A, w, V, U)
-    V = cx.normalize_cols(V)
-    return w, V
+    # f32 on TPU: the whole decomposition (T, Z, Y, Y^-1) is ONE Pallas
+    # launch; only the GEMMs + RQ refine stay in XLA.  Elsewhere the
+    # same flow uses the XLA pieces (U = Z Y^-H are exact left
+    # eigenvectors, U^H V = I)
+    return _eig_full(A, refine_rq)
 
 
 def _rq_refine_pencil(A: CX, B: CX, w: CX, V: CX, U: CX,
