@@ -171,3 +171,26 @@ def test_schur_pallas_want_y_matches_xla_backsub():
     lam = np.diag(Th)
     res = np.linalg.norm(Ah @ V - V * lam[None, :], axis=0).max()
     assert res / np.abs(Ah).max() < 5e-5
+
+
+def test_pallas_gates_reject_batch_tracers(monkeypatch):
+    """vmap + pallas is broken under x64 (Mosaic cannot legalize the i64
+    index-map returns the grid-batching rule emits — measured on chip);
+    both gates must route batch tracers to XLA even on a TPU backend."""
+    import jax
+
+    from feast_tpu.ops import eig as eigmod
+
+    monkeypatch.setattr(eigmod.jax, "default_backend", lambda: "tpu")
+    seen = []
+
+    def probe(x):
+        seen.append(eigmod._pallas_gate(jnp.float32, 8, x))
+        return x
+
+    jax.vmap(probe)(jnp.zeros((2, 8, 8), jnp.float32))
+    assert seen == [False]  # batch tracer -> XLA
+    assert eigmod._pallas_gate(jnp.float32, 8,
+                               jnp.zeros((8, 8), jnp.float32)) is True
+    assert eigmod._pallas_gate(jnp.float64, 8,
+                               jnp.zeros((8, 8), jnp.float32)) is False
