@@ -287,9 +287,16 @@ def cgram(a: CX, b: Optional[CX] = None) -> CX:
     emulated-f64 accuracy.  Cost is O(n m_a m_b) VPU work and ~m-fold the
     matmul's bandwidth — use for the small m0-wide subspace Grams, never
     for wide GEMMs.
+
+    HARDWARE dtypes (f32/bf16) take the MXU matmul directly: the
+    accumulation weakness is specific to the emulated-f64 pair format,
+    and for native f32 the elementwise form is the same accuracy at
+    ~m-fold the bandwidth (the f32 coarse tier calls this every sweep).
     """
     if b is None:
         b = a
+    if a.re.dtype != jnp.float64:
+        return cmatmul(a.H, b)
     are, aim = a.re[:, :, None], a.im[:, :, None]
     bre, bim = b.re[:, None, :], b.im[:, None, :]
     re = jnp.sum(are * bre + aim * bim, axis=0)
