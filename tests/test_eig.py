@@ -233,3 +233,27 @@ def test_gen_eig_pencil_rq_clustered():
     # refined eigenvectors still satisfy the pencil
     R = (A @ cx.to_numpy(V) - B @ cx.to_numpy(V) * cx.to_numpy(w)[None, :])
     assert np.linalg.norm(R, axis=0).max() < 1e-12
+
+
+def test_indep_guard_rejects_collapsed_basis():
+    """ADVICE r4: the mixed-eig acceptance guard must also reject a basis
+    whose polish collapsed two cluster columns onto one eigenvector (every
+    per-column residual can still pass)."""
+    rng = np.random.default_rng(7)
+    n = 12
+    V = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    V /= np.linalg.norm(V, axis=0)
+    Vx = cx.from_numpy(V)
+    assert bool(feig._indep_ok(Vx))
+    # collapse: column 3 := column 2 (unit norm preserved)
+    Vc = V.copy()
+    Vc[:, 3] = Vc[:, 2]
+    assert not bool(feig._indep_ok(cx.from_numpy(Vc)))
+    # near-collapse below the floor is rejected too
+    Vn = V.copy()
+    Vn[:, 3] = Vn[:, 2] + 1e-9 * Vn[:, 3]
+    Vn /= np.linalg.norm(Vn, axis=0)
+    assert not bool(feig._indep_ok(cx.from_numpy(Vn)))
+    # orthonormal basis passes with margin
+    Q, _ = np.linalg.qr(V)
+    assert bool(feig._indep_ok(cx.from_numpy(Q)))

@@ -96,6 +96,109 @@ def test_deterministic_failure_aborts_early_with_forensics(tmp_path):
     assert read_restarts(str(tmp_path / "ck")) == 2
 
 
+def test_n_sweeps_counts_executed_node_solves():
+    """ADVICE r4: n_sweeps must count node-solve sweeps actually EXECUTED
+    — the fused-step path sweeps before its convergence check (so a
+    converged call still spent one sweep), while a chunked call that
+    converges at entry spends zero."""
+    A, X0, c, r, _ = _slice_problem(100)
+    kw = dict(r=r, nodes=4, tol=1e-9, precondition="amg",
+              solve_tol=1e-10, solve_iters=200)
+    # fused-step path, fixed 3-sweep budget, far from converged after 0
+    out = feast_iterative(A, None, X0, c=c, iters=2, keep_q=True, **kw)
+    if not out.converged:
+        assert out.n_sweeps == 3  # every loop iteration ran a sweep
+    else:
+        assert out.n_sweeps == out.n_iter + 1
+    # run to convergence, then a converged-at-entry CHUNKED call
+    full = feast_iterative(A, None, X0, c=c, iters=15, keep_q=True, **kw)
+    assert full.converged
+    again = feast_iterative(A, None, full.Q, c=c, iters=0, keep_q=True,
+                            nit0=full.n_iter, node_chunk=2, **kw)
+    assert again.converged
+    assert again.n_sweeps == 0  # chunked path checks BEFORE the sweep
+
+
+def test_warm_restart_continuation():
+    """Two single-sweep calls stitched with (Q, warm) must reproduce the
+    one two-sweep in-process call exactly — the cross-worker Krylov
+    warm-start contract (VERDICT r4 #4)."""
+    A, X0, c, r, _ = _slice_problem(200)
+    # solve budget far below convergence (8 iters at tol 1e-12): the node
+    # solutions then depend strongly on x0, so warm state is load-bearing
+    kw = dict(r=r, nodes=4, tol=1e-13, precondition="jacobi",
+              solve_tol=1e-12, solve_iters=8)
+    full = feast_iterative(A, None, X0, c=c, iters=1, keep_q=True,
+                           keep_warm=True, **kw)
+    s1 = feast_iterative(A, None, X0, c=c, iters=0, keep_q=True,
+                         keep_warm=True, **kw)
+    assert s1.warm is not None and s1.warm.shape == (4, 200, 8)
+    s2 = feast_iterative(A, None, s1.Q, c=c, iters=0, nit0=1,
+                         warm0=cx.to_numpy(s1.warm), keep_q=True,
+                         keep_warm=True, **kw)
+    np.testing.assert_allclose(cx.to_numpy(s2.lam), cx.to_numpy(full.lam),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(cx.to_numpy(s2.Q), cx.to_numpy(full.Q),
+                               rtol=1e-9, atol=1e-12)
+    # and a COLD second sweep must NOT reproduce it (otherwise this test
+    # proves nothing about warm starts at these loose solve budgets)
+    cold = feast_iterative(A, None, s1.Q, c=c, iters=0, nit0=1,
+                           keep_q=True, **kw)
+    assert not np.allclose(cx.to_numpy(cold.Q), cx.to_numpy(full.Q),
+                           rtol=1e-9, atol=1e-12)
+
+
+def test_warm_roundtrips_through_reorder():
+    """warm blocks follow the caller's row numbering across an RCM
+    reorder: permuted problem + warm0 from a previous call must continue
+    exactly like the unpermuted run."""
+    rng = np.random.default_rng(5)
+    n = 150
+    A = problems.laplacian_1d(n, sparse=True)
+    p = rng.permutation(n)
+    Ap = sp.csr_matrix(A)[p][:, p].tocsr()  # scrambled: forces RCM
+    X0 = rng.standard_normal((n, 6)) + 1j * rng.standard_normal((n, 6))
+    exact = 2 - 2 * np.cos(np.arange(1, 6) * np.pi / (n + 1))
+    c = complex((exact[0] + exact[3]) / 2)
+    r = float((exact[3] - exact[0]) * 0.75)
+    kw = dict(r=r, nodes=4, tol=1e-13, precondition="amg",
+              solve_tol=1e-8, solve_iters=25, reorder="rcm")
+    s1 = feast_iterative(Ap, None, X0[p], c=c, iters=0, keep_q=True,
+                         keep_warm=True, **kw)
+    s2 = feast_iterative(Ap, None, s1.Q, c=c, iters=0, nit0=1,
+                         warm0=s1.warm, keep_q=True, keep_warm=True, **kw)
+    full = feast_iterative(Ap, None, X0[p], c=c, iters=1, keep_q=True,
+                           keep_warm=True, **kw)
+    np.testing.assert_allclose(cx.to_numpy(s2.lam), cx.to_numpy(full.lam),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(cx.to_numpy(s2.warm), cx.to_numpy(full.warm),
+                               rtol=1e-9, atol=1e-12)
+
+
+@pytest.mark.slow
+def test_checkpointed_persists_warm_starts(tmp_path):
+    """The orchestrator must checkpoint warm blocks in state.npz and the
+    stitched run must still converge to the exact slice."""
+    A, X0, c, r, exact = _slice_problem()
+    cdir = str(tmp_path / "ck")
+    kw = dict(r=r, nodes=8, tol=1e-10, precondition="amg",
+              solve_tol=1e-10, solve_iters=200)
+    out1 = feast_iterative_checkpointed(
+        A, None, X0, c=c, checkpoint_dir=cdir, max_sweeps=2,
+        platform="cpu", verbose=False, **kw)
+    assert not out1.converged
+    with np.load(os.path.join(cdir, "state.npz")) as st:
+        assert "warm" in st.files
+        assert st["warm"].shape == (8, 400, 8)
+    out2 = feast_iterative_checkpointed(
+        A, None, X0, c=c, checkpoint_dir=cdir, max_sweeps=12,
+        platform="cpu", verbose=False, **kw)
+    assert out2.converged
+    lam, _, res = out2.filtered()
+    np.testing.assert_allclose(np.sort(lam.real), exact, rtol=1e-8)
+    assert res.max() < 1e-10
+
+
 @pytest.mark.slow
 def test_checkpointed_resume_and_builder(tmp_path):
     """resume=True continues from state.npz; builder= delivers the problem

@@ -53,3 +53,28 @@ def test_pallas_lu_zero_pivot_guard():
     LU, perm = pallas_lu.lu_factor_pallas(A, block=32, interpret=True)
     assert np.isfinite(np.asarray(LU.re)).all()
     assert np.isfinite(np.asarray(LU.im)).all()
+
+
+def test_explicit_pallas_selection_fails_fast():
+    """ADVICE r4: explicit lu_factor(loop='pallas') bypasses the auto
+    gating; it must fail with a readable error, not an opaque Mosaic
+    lowering failure."""
+    import jax.numpy as jnp
+    import pytest
+
+    from feast_tpu import cx as _cx
+    from feast_tpu.ops import lu as lumod
+
+    rng = np.random.default_rng(0)
+    A64 = _cx.from_numpy(
+        rng.standard_normal((256, 256)) + 1j * rng.standard_normal((256, 256)),
+        jnp.float64)
+    with pytest.raises(ValueError, match="f32"):
+        lumod.lu_factor(A64, loop="pallas")
+    A32 = A64.astype(jnp.float32)
+    with pytest.raises(ValueError, match="TPU backend"):
+        lumod.lu_factor(A32, loop="pallas")  # tests force the CPU backend
+    # non-multiple block is rejected before dtype/backend dispatch too
+    from feast_tpu.ops import pallas_lu
+    with pytest.raises(ValueError, match="block"):
+        pallas_lu.lu_factor_pallas(A32, block=100, interpret=True)

@@ -192,3 +192,36 @@ def test_feast_iterative_interior_fem_slice():
     np.testing.assert_allclose(np.sort(lam.real), inside_exact, rtol=1e-7)
     Rv = K @ X - (M @ X) * lam[None, :]
     assert np.linalg.norm(Rv, axis=0).max() < 1e-7 * np.abs(lam).max()
+
+
+def test_bell_plan_matches_structure():
+    """ADVICE r4: bell_plan must be derived from BELL._structure itself —
+    the planned slot count (16-row nbr padding included) and spill nnz
+    must match the structure the data arrays are actually built on."""
+    import scipy.sparse as sp
+
+    from feast_tpu.ops import sparse as spmod
+
+    rng = np.random.default_rng(11)
+    n, bs = 1000, 8
+    A = sp.random(n, n, density=0.01, random_state=3, format="csr")
+    A = (A + A.T + 10 * sp.eye(n)).tocsr()
+    kcap, slots, spill_nnz, kfull = spmod.bell_plan(A, bs)
+    b = spmod.BELL.from_scipy(A, bs=bs, kcap="auto")
+    nbr_padded = b.colb.shape[0]
+    assert nbr_padded % 16 == 0
+    assert slots == nbr_padded * b.kmax
+    assert kcap == b.kmax
+    actual_spill = 0 if b.spill is None else b.spill.data.re.shape[0]
+    assert spill_nnz == actual_spill
+    # the modeled HBM bytes must cover the actual stored pair
+    import jax.numpy as jnp
+    modeled = spmod.bell_hbm_bytes(A, bs, jnp.float64)
+    actual_pair = b.data.re.size * 2 * 8  # re+im f64, pre-tile-padding
+    assert modeled >= actual_pair
+    # tiny matrices (coarse AMG levels) were the ~5x underestimate case
+    As = sp.csr_matrix(sp.eye(24) + sp.random(24, 24, density=0.1,
+                                              random_state=1))
+    _, slots_s, _, _ = spmod.bell_plan(As, 8)
+    bsmall = spmod.BELL.from_scipy(As, bs=8, kcap="auto")
+    assert slots_s == bsmall.colb.shape[0] * bsmall.kmax
