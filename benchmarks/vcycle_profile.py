@@ -42,20 +42,24 @@ def _sync(x):
     return float(np.asarray(jnp.sum(x)))
 
 
-def _time_chain(step, x0, lo, hi, reps=2):
+def _time_chain(step, x0, lo, hi, reps=2, args=()):
+    """step(x, *args) -> x, dispatch-cancelled.  Operators/hierarchies MUST
+    ride in `args` (jit arguments): a closure-captured CSR/BELL operator
+    becomes an HLO constant and blows the remote-compile tunnel's request
+    size limit (HTTP 413 — measured at the 1M level-0 CSR P)."""
     import jax
     from jax import lax
 
     def runner(inner):
         @jax.jit
-        def run(x):
-            return lax.fori_loop(0, inner, lambda i, x: step(x), x)
+        def run(x, *a):
+            return lax.fori_loop(0, inner, lambda i, x: step(x, *a), x)
 
-        _sync(run(x0))
+        _sync(run(x0, *args))
         best = np.inf
         for _ in range(reps):
             t0 = time.perf_counter()
-            _sync(run(x0))
+            _sync(run(x0, *args))
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -173,16 +177,18 @@ def main():
         # normalization reduction — at the small levels a column-norm
         # reduction would cost more than the SpMM being measured
 
-        def scaled(op, s):
-            def stepf(V):
-                Y = op(V)
-                return cx.CX(Y.re * s, Y.im * s)
-            return stepf
+        def s_step(V, Lv, Bv):
+            Y = amgmod._shifted_op(Lv, Bv, zc_dt).matvec(V)
+            return cx.CX(Y.re * 0.125, Y.im * 0.125)
+
+        def rp_step(V, Pv, Rv):
+            Y = Rv.matvec(Pv.matvec(V))
+            return cx.CX(Y.re * 0.5, Y.im * 0.5)
 
         t_S = safe(f"S{l}", lambda: _time_chain(
-            scaled(Sop.matvec, 0.125), Xl, lo, hi))
+            s_step, Xl, lo, hi, args=(L.A_op, L.B_op)))
         t_RP = safe(f"RP{l}", lambda: _time_chain(
-            scaled(lambda V: L.R.matvec(L.P.matvec(V)), 0.5), Xc, lo, hi))
+            rp_step, Xc, lo, hi, args=(L.P, L.R)))
         row = {"level": l, "n": nl,
                "S_matvec_s": None if t_S is None else round(t_S, 5),
                "RP_matvec_s": None if t_RP is None else round(t_RP, 5)}
@@ -198,16 +204,39 @@ def main():
         save()
 
     # ---- sub-hierarchy V-cycles ------------------------------------------
+    from jax import lax
+
+    def time_vcycle(sub, Xl, lo, hi, reps=2):
+        """Hierarchy rides as a jit ARGUMENT; the per-z shift + coarse LU
+        setup is traced once OUTSIDE the fori loop, so the difference
+        quotient cancels it along with dispatch."""
+        def runner(inner):
+            @jax.jit
+            def run(x, hh):
+                M = amgmod.shifted_preconditioner(hh, z, dtype=mdt)
+                return lax.fori_loop(
+                    0, inner, lambda i, v: cx.normalize_cols(M(v)), x)
+
+            _sync(run(Xl, sub))
+            best = np.inf
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                _sync(run(Xl, sub))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        t_lo = runner(lo)
+        t_hi = runner(hi)
+        return max((t_hi - t_lo) / (hi - lo), 1e-9)
+
     subs = []
     for l in list(range(kprof)) + [nlev]:
         nl = int(h.levels[l].A_op.shape[0]) if l < nlev else int(
             h.Ac.shape[0])
         sub = amgmod.AMG(h.levels[l:], h.Ac, h.Bc)
-        M = amgmod.shifted_preconditioner(sub, z, dtype=mdt)
         Xl = rand_block(nl)
         lo, hi = (2, 6) if nl > 400_000 else (3, 13)
-        t_M = safe(f"M{l}", lambda: _time_chain(
-            lambda V: cx.normalize_cols(M(V)), Xl, lo, hi))
+        t_M = safe(f"M{l}", lambda: time_vcycle(sub, Xl, lo, hi))
         row = {"from_level": l, "n": nl,
                "vcycle_s": None if t_M is None else round(t_M, 5)}
         subs.append(row)

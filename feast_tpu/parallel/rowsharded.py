@@ -135,7 +135,11 @@ def build_sharded_amg(A, B, d_row: int, dtype, **build_opts):
     shard_map PartitionSpec pytree, and the static size metadata."""
     from ..ops import amg as amgmod
 
-    host_levels, Ac, Bc = amgmod.build_amg_host(A, B, **build_opts)
+    # strength aggregation: the sharded path partitions explicit CSR
+    # transfer operators per row block (STRETCH's reshape trick does not
+    # compose with the row-shard padding; replicated drivers use it)
+    build_opts.setdefault("aggregate", "strength")
+    host_levels, Ac, Bc, _strides = amgmod.build_amg_host(A, B, **build_opts)
     arrays, specs, meta = [], [], []
     sh = P("row", None)
     rep = P(None)

@@ -177,6 +177,8 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
                     warm0=None, keep_warm: bool = False,
                     reorder="auto",
                     nit0: int = 0, tol_mode: str = "abs",
+                    m0=None, samples: int = 8, seed: int = 0,
+                    auto_m0_margin: float = 2.5,
                     debug: bool = False) -> FeastResult:
     """RII FEAST with matrix-free iterative node solves (sparse-ready).
 
@@ -217,6 +219,19 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
     dof).  Row order follows the ORIGINAL (caller) numbering: `reorder`
     permutations are applied on entry and undone on exit, like X.
 
+    m0: subspace sizing when X0=None.  An int draws a random (n, m0)
+    start block; "auto" sizes it from a matrix-free stochastic count of
+    the slice (Hutchinson trace of the spectral projector through the
+    SAME iterative node solves + preconditioner this driver uses — the
+    sparse analog of solvers.stochastic.contour_estimate_eig,
+    reference stochastic.jl:2-33, with the B factor the projector needs
+    for generalized pencils): m0 = max(ceil(margin*est), ceil(est)+4, 4).
+    The margin default 2.5 encodes the measured r4 interior lever: with 6
+    eigenvalues inside, m0=16 contracted ~20x/sweep where m0=10 managed
+    ~2.2x at only 1.3x per-sweep cost — buffer columns are cheap, sweeps
+    are not.  `samples` probes cost about one node sweep at width
+    `samples`.
+
     node_chunk: process contour nodes in chunks of this size (host loop,
     one compiled program reused across chunks) instead of vmapping the
     Krylov solve over all `nodes` at once.  Block BiCGStab holds ~7 CX
@@ -256,8 +271,8 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
                 if isinstance(X0, CX):
                     X0 = CX(X0.re[jnp.asarray(perm)],
                             X0.im[jnp.asarray(perm)])
-                else:
-                    X0 = np.asarray(X0)[perm]
+                elif X0 is not None:  # X0=None: m0-sized random start is
+                    X0 = np.asarray(X0)[perm]  # drawn in permuted space
                 if warm0 is not None:
                     pj = jnp.asarray(perm)
                     warm0 = CX(warm0.re[:, pj], warm0.im[:, pj])
@@ -282,8 +297,17 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
         amg_hier = amgmod.build_amg(
             _raw_matrix(A_raw), None if B is None else _raw_matrix(B_raw),
             **build_opts)
-    X = X0 if isinstance(X0, CX) else cx.from_numpy(np.asarray(X0), dtype)
-    n, m0 = X.shape
+    if X0 is None:
+        if m0 is None:
+            raise ValueError("pass X0 or m0= (int or 'auto')")
+        if mesh is not None:
+            raise ValueError("X0=None sizing does not compose with mesh")
+        X = None
+        n = A.shape[0]
+    else:
+        X = X0 if isinstance(X0, CX) else cx.from_numpy(np.asarray(X0),
+                                                        dtype)
+        n, m0 = X.shape
     if contour is None:
         contour = ct.circular_contour_trapezoidal(complex(c), float(r), nodes)
     from .feast import _resolve_tol
@@ -396,6 +420,57 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
             sol = solve_fn(mv, R, x0=x0, tol=solve_tol, M=M)
         from .feast import _resolvent
         return cx.scale_cols(Xn - sol.x, _resolvent(wi, zi, lam)), sol.x
+
+    def _hutchinson_count():
+        """E[#eig inside] = -(1/s) sum_i Re[w_i tr(X^H (A - z_i B)^{-1}
+        B X)] with real Gaussian probes (stochastic.jl:2-33; the sign flip
+        is ours — the node solves target (A - zB), the projector is in
+        (zB - A); the B factor makes the trace the generalized projector's,
+        which the reference omits).  One jitted program reused across
+        nodes; amg rides as a jit ARGUMENT (closure constants would
+        constant-fold the hierarchy, see ops/amg.py)."""
+        s = int(samples)
+        rngp = np.random.default_rng(seed)
+        Xp = cx.from_numpy(rngp.standard_normal((n, s)) + 0j, dtype)
+
+        @jax.jit
+        def probe(zi, Xp, A, B, amg):
+            BX = Xp if B is None else _apply(B, Xp)
+            mv = spmod.shifted_matvec(A, B, zi)
+            M = _make_M(zi, A, B, amg)
+            if solver in ("bicgstab", "bicgstab_rr", "bicgstabl"):
+                sol = solve_fn(mv, BX, tol=solve_tol, maxiter=solve_iters,
+                               M=M)
+            else:
+                sol = solve_fn(mv, BX, tol=solve_tol, M=M)
+            Y = sol.x
+            tr_re = jnp.sum(Xp.re * Y.re + Xp.im * Y.im)
+            tr_im = jnp.sum(Xp.re * Y.im - Xp.im * Y.re)
+            return tr_re, tr_im
+
+        acc = 0.0
+        for i in range(N):
+            tr_re, tr_im = probe(CX(z.re[i], z.im[i]), Xp, A, B, amg_hier)
+            tr = complex(float(np.asarray(tr_re)), float(np.asarray(tr_im)))
+            wi = complex(float(np.asarray(w.re[i])),
+                         float(np.asarray(w.im[i])))
+            acc += (wi * (-tr)).real
+        return acc / s
+
+    if X is None:
+        if m0 == "auto":
+            est = _hutchinson_count()
+            m0 = max(int(np.ceil(auto_m0_margin * max(est, 0.0))),
+                     int(np.ceil(max(est, 0.0))) + 4, 4)
+            m0 = min(m0, n)
+            if debug:
+                print(f"feast_iterative: stochastic count {est:.2f} inside "
+                      f"-> m0={m0}")
+        else:
+            m0 = int(m0)
+        rngx = np.random.default_rng(seed)
+        X = cx.from_numpy(rngx.standard_normal((n, m0))
+                          + 1j * rngx.standard_normal((n, m0)), dtype)
 
     @jax.jit
     def step(Q, warm, A, B, amg):

@@ -40,16 +40,20 @@ def test_union_pair_alignment():
 def test_banded_levels_use_dia():
     """A banded fine matrix must produce DIA level operators (the
     shifted-slice SpMM path — no gather temps at the 1M-dof scale), with
-    matching A/B structure; P/R are gather-free layouts (BELL when the
-    aggregate-map block fill allows, CSR otherwise — r3 unstructured
-    work)."""
+    matching A/B structure; P on a banded level is the gather-free
+    STRETCH stride-band (structured aggregation, r5 — the 1M level-0 CSR
+    P was 97% of the V-cycle wall; BELL/CSR remain the strength-
+    aggregation fallbacks)."""
     n = 3000
     h = amgmod.build_amg(lap1d(n))
     assert len(h.levels) >= 1
     L0 = h.levels[0]
     assert isinstance(L0.A_op, spmod.DIA) and isinstance(L0.B_op, spmod.DIA)
     assert L0.A_op.offsets == L0.B_op.offsets
-    assert isinstance(L0.P, (spmod.BELL, spmod.CSR))
+    assert isinstance(L0.P, spmod.STRETCH)
+    assert isinstance(L0.R, spmod.STRETCHT)
+    h_str = amgmod.build_amg(lap1d(n), aggregate="strength")
+    assert isinstance(h_str.levels[0].P, (spmod.BELL, spmod.CSR))
     # the union structure must reproduce A - z B exactly
     z = cx.CX(jnp.asarray(0.3), jnp.asarray(0.1))
     S = amgmod._shifted_op(L0.A_op, L0.B_op, z)

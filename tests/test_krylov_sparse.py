@@ -378,3 +378,68 @@ def test_feast_iterative_tol_mode_contour():
     assert bool(out.converged)
     got = np.sort(np.asarray(out.lam.re)[np.asarray(out.inside)])
     assert np.allclose(got, d[:4], rtol=1e-8)
+
+
+def test_feast_iterative_auto_m0():
+    """m0='auto' (VERDICT r4 #9): the matrix-free stochastic count sizes
+    the subspace from the slice itself — no X0 — and must match or beat a
+    minimally-buffered hand-tuned start on sweep count, on both standard
+    and generalized pencils (the B-factor in the projector trace)."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    from feast_tpu import problems
+    from feast_tpu.solvers.ifeast import feast_iterative
+
+    n = 400
+    A = problems.laplacian_1d(n, sparse=True)
+    k = np.arange(1, n + 1)
+    exact = 2 - 2 * np.cos(k * np.pi / (n + 1))
+    # INTERIOR slice (eigenvalues ~#18-23: indefinite shifted operators)
+    sel = exact[17:23]
+    c = complex((sel[0] + sel[-1]) / 2)
+    r = float((sel[-1] - sel[0]) / 2
+              + 0.4 * min(sel[0] - exact[16], exact[23] - sel[-1]))
+    n_in = int(np.sum(np.abs(exact - c) <= r))
+    common = dict(c=c, r=r, nodes=8, iters=12, tol=1e-10,
+                  precondition="amg", solver="bicgstab_rr",
+                  solve_tol=1e-10, solve_iters=400)
+    auto = feast_iterative(A, None, None, m0="auto", **common)
+    lam, _, res = auto.filtered()
+    assert auto.converged and len(lam) == n_in
+    assert auto.X.shape[1] >= n_in + 4  # margin buffered the slice
+    np.testing.assert_allclose(np.sort(lam.real),
+                               exact[np.abs(exact - c) <= r], rtol=1e-8)
+    # minimally-buffered hand start: must NOT beat auto's sweep count
+    rng = np.random.default_rng(1)
+    X0 = (rng.standard_normal((n, n_in + 1))
+          + 1j * rng.standard_normal((n, n_in + 1)))
+    hand = feast_iterative(A, None, X0, **common)
+    assert auto.n_sweeps <= hand.n_sweeps
+
+    # generalized: exact count recovered through the B-weighted trace
+    B = sp.diags([np.full(n, 4 / 6), np.full(n - 1, 1 / 6),
+                  np.full(n - 1, 1 / 6)], [0, 1, -1],
+                 format="csr").astype(np.complex128)
+    m = (2 + np.cos(k * np.pi / (n + 1))) / 3
+    ge = np.sort(exact / m)
+    cg = complex((ge[0] + ge[3]) / 2)
+    rg = float((ge[3] - ge[0]) * 0.7)
+    outg = feast_iterative(A, B, None, c=cg, r=rg, nodes=8, iters=12,
+                           tol=1e-10, precondition="amg",
+                           solve_tol=1e-10, solve_iters=300, m0="auto")
+    lamg, _, _ = outg.filtered()
+    assert outg.converged
+    assert len(lamg) == int(np.sum(np.abs(ge - cg) <= rg))
+
+
+def test_feast_iterative_x0_none_requires_m0():
+    import pytest
+    import scipy.sparse as sp
+    import numpy as np
+
+    from feast_tpu.solvers.ifeast import feast_iterative
+
+    A = sp.eye(50, format="csr").astype(complex)
+    with pytest.raises(ValueError, match="m0"):
+        feast_iterative(A, None, None, c=1.0 + 0j, r=0.5)
