@@ -81,6 +81,10 @@ def main():
                     help="also time the full BiCGStab solve (the probe)")
     ap.add_argument("--theta", type=float, default=0.08)
     ap.add_argument("--max-coarse", type=int, default=600)
+    ap.add_argument("--agg-size", type=int, default=3,
+                    help="structured aggregation stride (build_amg)")
+    ap.add_argument("--tag", type=str, default="",
+                    help="suffix for the results filename")
     args = ap.parse_args()
 
     import jax
@@ -104,10 +108,12 @@ def main():
     w = 8 if args.x64 else 4
     out = {"device": str(jax.devices()[0]), "n": n, "m": m,
            "vcycle_dtype": "f64(emulated)" if args.x64 else "f32",
-           "theta": args.theta, "max_coarse": args.max_coarse}
+           "theta": args.theta, "max_coarse": args.max_coarse,
+           "agg_size": args.agg_size}
     res_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "results")
-    tag = f"vcycle_profile_{n}{'_x64' if args.x64 else ''}.json"
+    tag = (f"vcycle_profile_{n}{'_x64' if args.x64 else ''}"
+           f"{args.tag}.json")
 
     def save():
         os.makedirs(res_dir, exist_ok=True)
@@ -122,7 +128,7 @@ def main():
     z = cx.CX(jnp.asarray(zc.real), jnp.asarray(zc.imag))
     t0 = time.perf_counter()
     h = amgmod.build_amg(A, theta=args.theta, max_coarse=args.max_coarse,
-                         dtype=mdt)
+                         dtype=mdt, agg_size=args.agg_size)
     out["build_s"] = round(time.perf_counter() - t0, 1)
 
     # ---- hierarchy census -------------------------------------------------

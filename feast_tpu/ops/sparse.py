@@ -616,68 +616,65 @@ class STRETCH:
         return CX(jax.lax.slice_in_dim(re, K + d, K + d + nrows, axis=0),
                   jax.lax.slice_in_dim(im, K + d, K + d + nrows, axis=0))
 
-    def _w_strided(self, k, rho):
-        """Weight vector of offset k restricted to rows i ≡ rho (mod s),
-        zero-padded to nc entries: w[q] = data[k, q*s + rho]."""
-        nc = self.shape[1]
-        wr = self.data.re[k][rho::self.stride]
-        wi = self.data.im[k][rho::self.stride]
-        pad = (0, nc - wr.shape[0])
-        return jnp.pad(wr, pad)[:, None], jnp.pad(wi, pad)[:, None]
+    # Lowering choice (ALL measured on chip, 1M x 16 f32, dispatch-
+    # cancelled chains): the obvious upsample/downsample lowerings are
+    # slow — jnp.repeat / broadcast-(nc,s,m)-reshape 5.0 ms (the 3-D
+    # temp's (8,128) tile padding is a ~20x memory amplification at m=16,
+    # the r4 BELL-gather-temp lesson), strided reads x[rho::s] and
+    # lax.reduce_window/conv pooling ~50 ms (gather-grade).  What IS fast:
+    # the matmul identity-stack — up = (Xc @ [I .. I]).reshape(nc*s, m)
+    # (split-reshape, minor dim s*m) and down = T.reshape(nc, s*m) @
+    # [I; ..; I] — both ride the MXU and a clean reshape, ~2-3 ms per
+    # direction.  Shifts hoist THROUGH the stack (up(shift(x, d)) =
+    # shift(up(x), s*d); down(shift(t, -s*d)) = shift(down(t), -d)), so
+    # each matvec pays ONE up/down matmul plus ndepth streaming passes.
+
+    def _eye_stack(self, m, dtype):
+        return jnp.tile(jnp.eye(m, dtype=dtype), (1, self.stride))  # (m, s*m)
 
     def matvec(self, Xc: CX) -> CX:
-        """P @ Xc: (nc, m) -> (n, m), gather-free.
-
-        Per-residue formulation: rows i = q*s + rho form, for each fixed
-        rho, a DIA-like product y[rho::s] = sum_d w_d[rho::s] * Xc[q + d]
-        assembled with stride-s writes.  Measured on chip (1M x 16 f32):
-        a stride-3 .at[rho::s].set costs 0.22 ms where the
-        repeat/broadcast-reshape upsample costs 5.0 ms — the (nc, s, m)
-        temp's (8, 128) tile padding is a 20x memory amplification at
-        m = 16 (the r4 BELL-gather-temp lesson again)."""
+        """P @ Xc: (nc, m) -> (n, m), gather-free."""
         n, nc = self.shape
         s = self.stride
         m = Xc.re.shape[1]
-        ypad_re = jnp.zeros((nc * s, m), Xc.re.dtype)
-        ypad_im = jnp.zeros_like(ypad_re)
-        for rho in range(s):
-            acc_re = jnp.zeros((nc, m), Xc.re.dtype)
-            acc_im = jnp.zeros_like(acc_re)
-            for k, d in enumerate(self.offsets):
-                wre, wim = self._w_strided(k, rho)
-                Xs = self._shift(Xc, nc, d)
-                acc_re = acc_re + wre * Xs.re - wim * Xs.im
-                acc_im = acc_im + wre * Xs.im + wim * Xs.re
-            ypad_re = ypad_re.at[rho::s].set(acc_re)
-            ypad_im = ypad_im.at[rho::s].set(acc_im)
-        return CX(ypad_re[:n], ypad_im[:n])
+        G = self._eye_stack(m, Xc.re.dtype)
+        Ur = jnp.dot(Xc.re, G, precision=jax.lax.Precision.HIGHEST)
+        Ui = jnp.dot(Xc.im, G, precision=jax.lax.Precision.HIGHEST)
+        U = CX(Ur.reshape(nc * s, m), Ui.reshape(nc * s, m))
+        yre = jnp.zeros((n, m), Xc.re.dtype)
+        yim = jnp.zeros_like(yre)
+        for k, d in enumerate(self.offsets):
+            Us = self._shift(U, n, s * d)
+            wre = self.data.re[k][:, None]
+            wim = self.data.im[k][:, None]
+            yre = yre + wre * Us.re - wim * Us.im
+            yim = yim + wre * Us.im + wim * Us.re
+        return CX(yre, yim)
 
     def rmatvec(self, Y: CX) -> CX:
-        """P^H @ Y: (n, m) -> (nc, m), scatter-free (same per-residue
-        strided formulation as matvec, with stride-s reads)."""
+        """P^H @ Y: (n, m) -> (nc, m), scatter-free."""
         n, nc = self.shape
         s = self.stride
         m = Y.re.shape[1]
         npad = nc * s
         pad = ((0, npad - n), (0, 0))
-        Ypr = jnp.pad(Y.re, pad)
-        Ypi = jnp.pad(Y.im, pad)
-        acc_re = jnp.zeros((nc, m), Y.re.dtype)
-        acc_im = jnp.zeros_like(acc_re)
+        tre = jnp.zeros((npad, m), Y.re.dtype)
+        tim = jnp.zeros_like(tre)
         for k, d in enumerate(self.offsets):
-            dre = jnp.zeros((nc, m), Y.re.dtype)
-            dim = jnp.zeros_like(dre)
-            for rho in range(s):
-                wre, wim = self._w_strided(k, rho)
-                yr = Ypr[rho::s]
-                yi = Ypi[rho::s]
-                # conj(w) * y
-                dre = dre + wre * yr + wim * yi
-                dim = dim + wre * yi - wim * yr
-            con = self._shift(CX(dre, dim), nc, -d)
-            acc_re = acc_re + con.re
-            acc_im = acc_im + con.im
-        return CX(acc_re, acc_im)
+            wre = self.data.re[k][:, None]
+            wim = self.data.im[k][:, None]
+            # conj(w) * y, padded to the full nc*s rows, shifted by -s*d
+            con = self._shift(
+                CX(jnp.pad(wre * Y.re + wim * Y.im, pad),
+                   jnp.pad(wre * Y.im - wim * Y.re, pad)), npad, -s * d)
+            tre = tre + con.re
+            tim = tim + con.im
+        G = self._eye_stack(m, Y.re.dtype)  # down = merge-reshape @ G^T
+        dre = jnp.dot(tre.reshape(nc, s * m), G.T,
+                      precision=jax.lax.Precision.HIGHEST)
+        dim = jnp.dot(tim.reshape(nc, s * m), G.T,
+                      precision=jax.lax.Precision.HIGHEST)
+        return CX(dre, dim)
 
     def todense(self) -> CX:
         n, nc = self.shape
