@@ -168,6 +168,8 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
                     # emulated-f64 recursive residual drifts) | "bicgstabl"
                     # (l=2) | "gmres"
                     solve_iters: int = 1000, precondition="jacobi",
+                    gmres_restart: Optional[int] = None,
+                    rhs_chunk: Optional[int] = None,
                     amg_opts: Optional[dict] = None,
                     spurious: Optional[float] = None,
                     ortho: str = "cholqr2", mesh=None,
@@ -323,6 +325,7 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
         A = pmesh.replicate(A, mesh) if A is not None else None
         B = pmesh.replicate(B, mesh) if B is not None else None
 
+    _gmres_restart_eff = None
     if solver == "bicgstab":
         solve_fn = krylov.bicgstab
     elif solver == "bicgstab_rr":
@@ -330,8 +333,18 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
     elif solver == "bicgstabl":
         solve_fn = functools.partial(krylov.bicgstab_l, ell=2)
     else:
-        solve_fn = functools.partial(krylov.gmres,
-                                     restart=min(40, max(10, n // 8)))
+        # GMRES: the solver for strongly INDEFINITE interior shifts.
+        # Measured (deep tensor-pencil slice at 95% of lam_max, ~99% of
+        # the spectrum below the shift): AMG-preconditioned GMRES(50)
+        # converges in ~20 iterations where BiCGStab's short recurrence
+        # stalls at 1e-1..1e-2 even after 3000 iterations and every CSL
+        # damp level.  The long recurrence costs basis memory
+        # (restart+1)*n*m pairs — `rhs_chunk` bounds it (auto below).
+        restart = gmres_restart or min(40, max(10, n // 8))
+        solve_fn = functools.partial(
+            krylov.gmres, restart=restart,
+            maxrestart=max(1, -(-int(solve_iters) // restart)))
+        _gmres_restart_eff = restart
 
     # AMG apply knobs ride in amg_opts next to the build knobs
     _amg_apply_keys = ("nu", "omega", "cycles", "dtype", "damp")
@@ -410,16 +423,31 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
             return precondition(zi)
         return None
 
+    def _solve_node(mv, M, Bm, x0):
+        if solver in ("bicgstab", "bicgstab_rr", "bicgstabl"):
+            return solve_fn(mv, Bm, x0=x0, tol=solve_tol,
+                            maxiter=solve_iters, M=M).x
+        mw = Bm.shape[1]
+        ck = rhs_chunk
+        if ck is None or ck >= mw:
+            return solve_fn(mv, Bm, x0=x0, tol=solve_tol, M=M).x
+        # GMRES RHS chunking: the (restart+1, n, chunk) Arnoldi basis is
+        # the memory peak; solve the block in static column chunks
+        parts = []
+        for j0 in range(0, mw, ck):
+            sl = slice(j0, j0 + ck)
+            parts.append(solve_fn(
+                mv, CX(Bm.re[:, sl], Bm.im[:, sl]),
+                x0=CX(x0.re[:, sl], x0.im[:, sl]),
+                tol=solve_tol, M=M).x)
+        return cx.concatenate(parts, axis=1)
+
     def _one_node(zi, wi, x0, R, Xn, lam, A, B, amg):
         mv = spmod.shifted_matvec(A, B, CX(zi.re, zi.im))
         M = _make_M(CX(zi.re, zi.im), A, B, amg)
-        if solver in ("bicgstab", "bicgstab_rr", "bicgstabl"):
-            sol = solve_fn(mv, R, x0=x0, tol=solve_tol,
-                           maxiter=solve_iters, M=M)
-        else:
-            sol = solve_fn(mv, R, x0=x0, tol=solve_tol, M=M)
+        x = _solve_node(mv, M, R, x0)
         from .feast import _resolvent
-        return cx.scale_cols(Xn - sol.x, _resolvent(wi, zi, lam)), sol.x
+        return cx.scale_cols(Xn - x, _resolvent(wi, zi, lam)), x
 
     def _hutchinson_count():
         """E[#eig inside] = -(1/s) sum_i Re[w_i tr(X^H (A - z_i B)^{-1}
@@ -438,12 +466,7 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
             BX = Xp if B is None else _apply(B, Xp)
             mv = spmod.shifted_matvec(A, B, zi)
             M = _make_M(zi, A, B, amg)
-            if solver in ("bicgstab", "bicgstab_rr", "bicgstabl"):
-                sol = solve_fn(mv, BX, tol=solve_tol, maxiter=solve_iters,
-                               M=M)
-            else:
-                sol = solve_fn(mv, BX, tol=solve_tol, M=M)
-            Y = sol.x
+            Y = _solve_node(mv, M, BX, cx.zeros(BX.shape, BX.re.dtype))
             tr_re = jnp.sum(Xp.re * Y.re + Xp.im * Y.im)
             tr_im = jnp.sum(Xp.re * Y.im - Xp.im * Y.re)
             return tr_re, tr_im
@@ -471,6 +494,18 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
         rngx = np.random.default_rng(seed)
         X = cx.from_numpy(rngx.standard_normal((n, m0))
                           + 1j * rngx.standard_normal((n, m0)), dtype)
+
+    if _gmres_restart_eff is not None and rhs_chunk is None:
+        # auto RHS chunk: keep the (restart+1, n, chunk) pair basis
+        # under ~3 GB (the 16 GB chip also holds the hierarchy, warm
+        # blocks and the moment accumulators)
+        bytes_per = 2 * jnp.dtype(dtype).itemsize
+        ck = max(int(3e9 / ((_gmres_restart_eff + 1) * n * bytes_per)), 1)
+        if ck < X.shape[1]:
+            rhs_chunk = ck
+            if debug:
+                print(f"feast_iterative: gmres basis capped -> "
+                      f"rhs_chunk={ck}")
 
     @jax.jit
     def step(Q, warm, A, B, amg):
