@@ -601,12 +601,14 @@ def main():
     finally:
         sg.alarm(0)
     for key, name in (("sparse1m_feast_recorded", "sparse1m.json"),
+                      ("sparse1m_interior_recorded", "sparse1m_interior.json"),
                       ("dense8192_recorded", "dense8192.json"),
                       ("gun9956_recorded", "gun9956.json"),
                       ("spmm_unstructured_recorded", "bell_tune.json"),
                       ("unstructured100k_feast_recorded",
                        "unstructured100k.json"),
-                      ("interior_slice_recorded", "interior_slice.json"),
+                      ("interior_slice_recorded",
+                       "unstructured100k_interior.json"),
                       ("scaling_recorded", "scaling.json")):
         rec = _recorded(name)
         if rec is not None:

@@ -165,8 +165,29 @@ def run(N: int = 1000, m0: int = 8, nodes: int = 8, tol: float = 1e-10,
     return rec
 
 
+def make_fd_precond(N):
+    """Fast-diagonalization direct preconditioner (ops/fastdiag.py) for the
+    separable tensor pencil: T1 and M1 are commuting tridiagonal Toeplitz,
+    so (K - zB)^{-1} is four dense (N,N) GEMMs + an elementwise divide at
+    ANY shift — the structured-operator analog of UMFPACK's shift-agnostic
+    sparse LU, and the only path that reaches DEEP interior slices (AMG
+    stalls once most of the spectrum sits below the shift; r5 depth
+    sweep)."""
+    import jax.numpy as jnp
+
+    from feast_tpu.ops import fastdiag
+
+    T1 = sp.diags([np.full(N, 2.0), -np.ones(N - 1), -np.ones(N - 1)],
+                  [0, 1, -1], format="csr")
+    M1 = sp.diags([np.full(N, 4 / 6), np.full(N - 1, 1 / 6),
+                   np.full(N - 1, 1 / 6)], [0, 1, -1], format="csr")
+    fd = fastdiag.build(A1=T1, B1=M1, form="kron", dtype=jnp.float32)
+    return fastdiag.preconditioner(fd)
+
+
 def step(N, m0, nodes, tol, solve_tol, solve_iters, solver, node_chunk,
-         amg_f32, x_in, state_out, cpu=False, interior=None, damp=0.0):
+         amg_f32, x_in, state_out, cpu=False, interior=None, damp=0.0,
+         fd=False):
     """One refinement sweep in THIS process: RR(X) -> convergence check ->
     (if not converged) one node-solve sweep; checkpoint the updated moment
     subspace Q.  The axon TPU worker reliably dies after ~2 consecutive
@@ -205,9 +226,10 @@ def step(N, m0, nodes, tol, solve_tol, solve_iters, solver, node_chunk,
         amg_opts["dtype"] = jnp.float32
     if damp:
         amg_opts["damp"] = float(damp)
+    precond = make_fd_precond(N) if fd else "amg"
     t0 = time.perf_counter()
     out = feast_iterative(K, B, X0, c=c, r=r, nodes=nodes,
-                          iters=0, tol=tol, precondition="amg",
+                          iters=0, tol=tol, precondition=precond,
                           tol_mode="contour" if interior else "abs",
                           amg_opts=amg_opts or None, solver=solver,
                           solve_tol=solve_tol, solve_iters=solve_iters,
@@ -271,6 +293,8 @@ def orchestrate(args):
             cmd += ["--interior", str(args.interior)]
         if args.damp:
             cmd += ["--damp", str(args.damp)]
+        if args.fd:
+            cmd += ["--fd"]
         if args.cpu:
             cmd += ["--cpu"]
         try:
@@ -316,6 +340,7 @@ def orchestrate(args):
     rec = {
         "n": n, "nnz_K": int(K.nnz), "nnz_B": int(B.nnz), "m0": args.m0,
         "nodes": args.nodes, "tol": args.tol, "solver": args.solver,
+        "preconditioner": "fastdiag" if args.fd else "amg",
         "amg_f32": args.amg_f32, "solve_tol": args.solve_tol,
         "solve_iters": args.solve_iters, "node_chunk": args.node_chunk,
         "mode": "orchestrated (1 sweep/process, crash-retry)",
@@ -336,6 +361,12 @@ def orchestrate(args):
         rec["amg_damp"] = args.damp
         rec["max_res_relative"] = (rec["max_res"] / (abs(c) + r)
                                    if rec["max_res"] is not None else None)
+    # The headline filename is reserved for the real thing: N=1000 on a TPU
+    # backend.  Smoke runs (reduced N, --cpu) are keyed by scale so they
+    # cannot masquerade as the flagship (the r3 lesson).
+    if args.N < 900 or args.cpu:
+        suffix = f"{suffix}_N{args.N}_smoke"
+        rec["smoke"] = True
     with open(os.path.join(outdir, f"sparse1m{suffix}.json"), "w") as f:
         json.dump(rec, f, indent=1)
     print(json.dumps(rec))
@@ -362,6 +393,12 @@ def main():
     ap.add_argument("--damp", type=float, default=0.0,
                     help="CSL-style AMG preconditioner damping (relative "
                          "to |z|; only for hard interior slices)")
+    ap.add_argument("--fd", action="store_true",
+                    help="fast-diagonalization direct preconditioner "
+                         "(ops/fastdiag.py) instead of AMG — exact "
+                         "tensor-structure inverse, reaches ANY interior "
+                         "depth; the AMG path stays the general-machinery "
+                         "benchmark")
     ap.add_argument("--one-step", action="store_true")
     ap.add_argument("--orchestrate", action="store_true")
     ap.add_argument("--resume", action="store_true")
@@ -377,7 +414,7 @@ def main():
         return step(args.N, args.m0, args.nodes, args.tol, args.solve_tol,
                     args.solve_iters, args.solver, args.node_chunk,
                     args.amg_f32, args.x_in, args.state_out, cpu=args.cpu,
-                    interior=args.interior, damp=args.damp)
+                    interior=args.interior, damp=args.damp, fd=args.fd)
     if args.orchestrate:
         return orchestrate(args)
     rec = run(N=args.N, m0=args.m0, nodes=args.nodes, tol=args.tol,
