@@ -214,9 +214,16 @@ def feast_iterative_checkpointed(
             # deterministic-failure early abort: the same rc with the same
             # last error line and zero progress twice in a row is a
             # repeating failure (compile OOM, import error, bad config) —
-            # retrying max_restarts times cannot help
+            # retrying max_restarts times cannot help.  KNOWN-TRANSIENT
+            # infrastructure failures are exempt: the remote TPU worker
+            # dying ("UNAVAILABLE: TPU worker process crashed") is the
+            # exact flakiness this orchestrator exists to absorb, and two
+            # in a row on a long cold sweep is common (measured r5: two
+            # identical axon crashes 8 min apart aborted a healthy 100k
+            # run) — those retry up to max_restarts like any other crash.
             sig = (str(rc), tail[-1] if tail else "")
-            if last_failure == sig:
+            transient = "TPU worker process crashed" in sig[1]
+            if last_failure == sig and not transient:
                 raise RuntimeError(
                     f"worker failed twice identically without progress "
                     f"(rc={rc}, last line: {sig[1]!r}); aborting early — "
@@ -364,67 +371,82 @@ def _worker(cdir: str) -> int:
                 warm0 = st["warm"]
 
     kwargs = dict(config["kwargs"])
-    # >1 keeps feast_iterative's per-node Krylov warm starts alive across
-    # that many refinement sweeps (they cannot be checkpointed cheaply:
-    # 8 nodes x (n, m0) f64 CX ~ 256 MB at 100k dof).  Measured r4: the
-    # 3rd isolated one-sweep worker paid 1489 s vs 173 s for sweep 2 -
-    # cold Krylov starts dominate late sweeps.
+    # >1 keeps feast_iterative's per-node Krylov warm starts AND the
+    # in-process jit cache alive across that many refinement sweeps
+    # (warm blocks cannot be checkpointed cheaply: 8 nodes x (n, m0) f64
+    # CX ~ 256 MB at 100k dof).  Measured r4: the 3rd isolated one-sweep
+    # worker paid 1489 s vs 173 s for sweep 2 - cold Krylov starts
+    # dominate late sweeps.  The block runs as spw SINGLE-sweep calls
+    # with a checkpoint after EACH: one fused iters=spw-1 call only
+    # checkpointed at block end, so a mid-block transient worker crash
+    # erased every completed sweep (measured r5: two axon crashes during
+    # sweep blocks = "zero progress twice" = spurious abort).
     spw = max(int(config.get("sweeps_per_worker", 1)), 1)
     amg_opts = {"dtype": jnp.float32} if config["amg_f32"] else {}
     if config.get("amg_damp"):
         amg_opts["damp"] = float(config["amg_damp"])
     amg_opts = amg_opts or None
     cc = complex(config["c"][0], config["c"][1])
-    t0 = time.perf_counter()
-    out = feast_iterative(A, B, X0, c=cc, iters=spw - 1, keep_q=True,
-                          nit0=sweeps, amg_opts=amg_opts,
-                          warm0=warm0, keep_warm=use_warm, **kwargs)
-    sweep_s = time.perf_counter() - t0
-    # node-solve sweeps actually executed, counted by the driver itself
-    # (ADVICE r4: reconstructing it from (n_iter, converged) miscounted
-    # both the fused-step path, which sweeps before its convergence
-    # check, and a converged-at-entry chunked call, which sweeps zero)
-    done_in_call = int(out.n_sweeps)
+    for _ in range(spw):
+        t0 = time.perf_counter()
+        out = feast_iterative(A, B, X0, c=cc, iters=0, keep_q=True,
+                              nit0=sweeps, amg_opts=amg_opts,
+                              warm0=warm0, keep_warm=use_warm, **kwargs)
+        sweep_s = time.perf_counter() - t0
+        # node-solve sweeps actually executed, counted by the driver
+        # itself (ADVICE r4: reconstructing it from (n_iter, converged)
+        # miscounted both the fused-step path, which sweeps before its
+        # convergence check, and a converged-at-entry chunked call,
+        # which sweeps zero)
+        done_in_call = int(out.n_sweeps)
 
-    # crash-injection hook for the recovery tests: die AFTER the sweep's
-    # compute but BEFORE the checkpoint (simulates the real mid-sweep
-    # worker loss; the marker file makes it one-shot)
-    crash_marker = os.environ.get("FEAST_ORCH_CRASH_ONCE")
-    if crash_marker and not os.path.exists(crash_marker):
-        with open(crash_marker, "w") as f:
-            f.write("crashed\n")
-        os._exit(17)
+        # crash-injection hook for the recovery tests: die AFTER the
+        # sweep's compute but BEFORE the checkpoint (simulates the real
+        # mid-sweep worker loss; the marker file makes it one-shot)
+        crash_marker = os.environ.get("FEAST_ORCH_CRASH_ONCE")
+        if crash_marker and not os.path.exists(crash_marker):
+            with open(crash_marker, "w") as f:
+                f.write("crashed\n")
+            os._exit(17)
 
-    # Q is the exact-continuation subspace either way: on convergence the
-    # driver breaks before the node sweep and returns the INPUT Q unchanged
-    Qh = cx.to_numpy(out.Q if out.Q is not None else out.X)
-    extra = {}
-    if use_warm:
-        if out.warm is not None and done_in_call > 0:
-            extra["warm"] = cx.to_numpy(out.warm)
-        elif warm0 is not None:
-            # converged-at-entry calls (done_in_call == 0) re-save the
-            # previous sweep's warm blocks (atomic_savez replaces the whole
-            # state file) rather than drop them for the buffers of a sweep
-            # that never ran
-            extra["warm"] = warm0
-    _atomic_savez(state_path,
-                  Q=Qh,
-                  X=cx.to_numpy(out.X), lam=cx.to_numpy(out.lam),
-                  res=np.asarray(out.res),
-                  inside=np.asarray(out.inside),
-                  converged=np.asarray(bool(out.converged)),
-                  sweeps=np.asarray(sweeps + done_in_call),
-                  sweep_s=sweep_s, **extra)
-    _log(cdir, {"event": "sweep", "sweep": sweeps + done_in_call,
-                "converged": bool(out.converged),
-                "max_res_inside": (float(np.asarray(out.res)[
-                    np.asarray(out.inside)].max())
-                    if np.asarray(out.inside).any() else None),
-                "sweep_s": round(sweep_s, 2)})
-    print(json.dumps({"sweep": sweeps + done_in_call,
-                      "converged": bool(out.converged),
-                      "sweep_s": round(sweep_s, 2)}), flush=True)
+        # Q is the exact-continuation subspace either way: on convergence
+        # the driver breaks before the node sweep and returns the INPUT Q
+        # unchanged
+        Qh = cx.to_numpy(out.Q if out.Q is not None else out.X)
+        extra = {}
+        if use_warm:
+            if out.warm is not None and done_in_call > 0:
+                extra["warm"] = cx.to_numpy(out.warm)
+            elif warm0 is not None:
+                # converged-at-entry calls (done_in_call == 0) re-save the
+                # previous sweep's warm blocks (atomic_savez replaces the
+                # whole state file) rather than drop them for the buffers
+                # of a sweep that never ran
+                extra["warm"] = warm0
+        sweeps += done_in_call
+        _atomic_savez(state_path,
+                      Q=Qh,
+                      X=cx.to_numpy(out.X), lam=cx.to_numpy(out.lam),
+                      res=np.asarray(out.res),
+                      inside=np.asarray(out.inside),
+                      converged=np.asarray(bool(out.converged)),
+                      sweeps=np.asarray(sweeps),
+                      sweep_s=sweep_s, **extra)
+        _log(cdir, {"event": "sweep", "sweep": sweeps,
+                    "converged": bool(out.converged),
+                    "max_res_inside": (float(np.asarray(out.res)[
+                        np.asarray(out.inside)].max())
+                        if np.asarray(out.inside).any() else None),
+                    "sweep_s": round(sweep_s, 2)})
+        print(json.dumps({"sweep": sweeps,
+                          "converged": bool(out.converged),
+                          "sweep_s": round(sweep_s, 2)}), flush=True)
+        if out.converged or done_in_call == 0:
+            break
+        # continue the block in-process: subspace and warm blocks carry
+        # over directly (device-resident), jit cache stays hot
+        X0 = out.Q if out.Q is not None else out.X
+        warm0 = out.warm if use_warm else None
     return 0
 
 

@@ -222,3 +222,43 @@ def test_checkpointed_resume_and_builder(tmp_path):
     lam, _, res = out2.filtered()
     np.testing.assert_allclose(np.sort(lam.real), exact, rtol=1e-8)
     assert res.max() < 1e-10
+
+
+def test_transient_crash_signature_retries_to_max_restarts(tmp_path):
+    """The remote-backend "TPU worker process crashed" signature is
+    TRANSIENT: two identical ones in a row must NOT fire the
+    deterministic-failure abort (r5: that misclassification aborted a
+    healthy 100k run after two real axon crashes) — the orchestrator
+    retries until max_restarts."""
+    A, X0, c, r, _ = _slice_problem(100)
+    with pytest.raises(RuntimeError, match="failed 4 times"):
+        feast_iterative_checkpointed(
+            builder="feast_tpu.orchestrate_testutil:build_transient_crash",
+            X0=X0, c=c, checkpoint_dir=str(tmp_path / "ck"),
+            max_sweeps=5, max_restarts=3, platform="cpu", verbose=False,
+            r=r, nodes=4, tol=1e-8)
+    with open(tmp_path / "ck" / "log.jsonl") as f:
+        events = [json.loads(l) for l in f]
+    restarts = [e for e in events if e["event"] == "worker_restart"]
+    assert len(restarts) == 4  # max_restarts exhausted, no early abort
+
+
+@pytest.mark.slow
+def test_multi_sweep_worker_checkpoints_each_sweep(tmp_path):
+    """sweeps_per_worker > 1 must still checkpoint after EVERY sweep (one
+    fused block call only checkpointed at block end, so a mid-block
+    worker loss erased completed sweeps — r5).  The log must carry one
+    strictly-incrementing sweep event per executed sweep."""
+    A, X0, c, r, exact = _slice_problem()
+    out = feast_iterative_checkpointed(
+        A, None, X0, c=c, checkpoint_dir=str(tmp_path / "ck"),
+        max_sweeps=10, sweeps_per_worker=4, platform="cpu", verbose=False,
+        r=r, nodes=8, tol=1e-10, precondition="amg",
+        solve_tol=1e-10, solve_iters=200)
+    assert out.converged
+    lam, _, res = out.filtered()
+    np.testing.assert_allclose(np.sort(lam.real), exact, rtol=1e-8)
+    with open(tmp_path / "ck" / "log.jsonl") as f:
+        sweep_nums = [json.loads(l)["sweep"] for l in f
+                      if json.loads(l)["event"] == "sweep"]
+    assert sweep_nums == list(range(1, out.n_iter + 1))
