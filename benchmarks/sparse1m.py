@@ -243,9 +243,12 @@ def step(N, m0, nodes, tol, solve_tol, solve_iters, solver, node_chunk,
     inside = np.asarray(out.inside)
     extra = {}
     if out.warm is not None and int(out.n_sweeps) > 0:
-        extra["warm"] = cxmod.to_numpy(out.warm)
+        # per-node complex64 pulls: one monolithic f64 pull of the warm
+        # stack is ~1 GB at 1M dof and a measured axon crash trigger
+        from feast_tpu.orchestrate import _pull_warm_f32
+        extra["warm"] = _pull_warm_f32(out.warm)
     elif warm0 is not None:
-        extra["warm"] = warm0
+        extra["warm"] = np.asarray(warm0, dtype=np.complex64)
     np.savez(state_out, Q=(X0 if out.converged else Qh), lam=lamh,
              res=res, inside=inside, converged=out.converged,
              sweep_s=sweep_s, **extra)

@@ -56,6 +56,12 @@ def main():
     ap.add_argument("--inline", action="store_true",
                     help="run feast_iterative in-process instead of the "
                          "checkpointed subprocess driver")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the existing checkpoint instead "
+                         "of restarting the run from scratch")
+    ap.add_argument("--max-restarts", type=int, default=10,
+                    help="worker crash-retry budget (raise when the "
+                         "remote backend is having a bad day)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -160,7 +166,8 @@ def main():
                           + ("_interior" if args.interior else ""))
         out = feast_iterative_checkpointed(
             K, M, X0, checkpoint_dir=ck, max_sweeps=args.sweeps,
-            resume=False, amg_f32=not args.amg_f64, amg_damp=args.damp,
+            resume=args.resume, max_restarts=args.max_restarts,
+            amg_f32=not args.amg_f64, amg_damp=args.damp,
             sweeps_per_worker=args.sweeps_per_worker,
             platform="cpu" if args.cpu else None, **common)
         lam = np.asarray(out.lam.re) + 1j * np.asarray(out.lam.im)

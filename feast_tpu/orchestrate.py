@@ -101,6 +101,26 @@ def _atomic_savez(path, **payload):
     os.replace(tmp, path)
 
 
+def _pull_warm_f32(warm):
+    """Checkpoint the per-node Krylov warm blocks as PER-NODE complex64
+    pulls.  One monolithic f64 device->host transfer of the whole
+    (nodes, n, m0) stack is itself a measured remote-worker crash trigger
+    (r2: the axon worker died twice mid-pull at 128 MB; r5: a 100k sweep
+    COMPLETED on device and the worker died inside cx.to_numpy(warm)).
+    Warm blocks are only Krylov initial guesses — f32 halves the transfer
+    and costs at most one extra outer iteration; per-node slicing keeps
+    each pull at 2*n*m0*4 bytes (~8 MB at 100k dof)."""
+    import jax.numpy as jnp
+
+    nodes = warm.re.shape[0]
+    out = np.empty(warm.re.shape, dtype=np.complex64)
+    for i in range(nodes):
+        re = np.asarray(warm.re[i].astype(jnp.float32))
+        im = np.asarray(warm.im[i].astype(jnp.float32))
+        out[i] = re + 1j * im
+    return out
+
+
 def feast_iterative_checkpointed(
         A=None, B=None, X0=None, *,
         checkpoint_dir: str,
@@ -115,6 +135,7 @@ def feast_iterative_checkpointed(
         amg_damp: float = 0.0,
         sweeps_per_worker: int = 1,
         warm_starts: bool = True,
+        chunk_checkpoints: bool = True,
         platform: Optional[str] = None,
         worker_env: Optional[dict] = None,
         verbose: bool = True,
@@ -136,9 +157,18 @@ def feast_iterative_checkpointed(
     warm_starts (default True): checkpoint the per-node Krylov solutions
     alongside Q so each fresh worker reseeds its node solves from the
     previous sweep instead of solving from zero (VERDICT r4 weak #4: one
-    cold sweep was 1489 s of the 2414 s total at 100k dof).  Costs
-    nodes*n*m0*16 bytes of state.npz per sweep (~200 MB at the 100k
-    config); set False to keep checkpoints minimal.
+    cold sweep was 1489 s of the 2414 s total at 100k dof).  Stored
+    complex64 and pulled per node (see _pull_warm_f32); set False to keep
+    checkpoints minimal.
+
+    chunk_checkpoints (default True, effective only when node_chunk is
+    set): SUB-sweep checkpointing — after every node chunk the worker
+    persists the partial moment accumulator + that chunk's warm block to
+    partial.npz, and a restarted worker resumes its sweep mid-chunk-loop
+    instead of from the sweep start.  This exists because a remote
+    worker's lifetime can be SHORTER than one sweep (measured r5: the
+    axon backend killed processes every 3-6 min while a 100k sweep plus
+    worker startup needed ~4 — no full-sweep attempt could ever land).
 
     Returns a solvers.feast.FeastResult (host-materialized).  The run is
     resumable: re-calling with resume=True (default) continues from
@@ -168,6 +198,7 @@ def feast_iterative_checkpointed(
               "amg_f32": bool(amg_f32), "amg_damp": float(amg_damp),
               "sweeps_per_worker": int(sweeps_per_worker),
               "warm_starts": bool(warm_starts),
+              "chunk_checkpoints": bool(chunk_checkpoints),
               "platform": platform,
               "kwargs": feast_kwargs}
     with open(os.path.join(checkpoint_dir, _CONFIG), "w") as f:
@@ -368,6 +399,8 @@ def _worker(cdir: str) -> int:
         with np.load(state_path, allow_pickle=False) as st:
             X0 = st["Q"]
             if use_warm and "warm" in st.files:
+                # stored complex64 (see _pull_warm_f32); feast_iterative
+                # casts to the compute dtype on entry
                 warm0 = st["warm"]
 
     kwargs = dict(config["kwargs"])
@@ -387,11 +420,61 @@ def _worker(cdir: str) -> int:
         amg_opts["damp"] = float(config["amg_damp"])
     amg_opts = amg_opts or None
     cc = complex(config["c"][0], config["c"][1])
+
+    # Sub-sweep (per-node-chunk) checkpointing: persist the partial moment
+    # accumulator after every chunk so a worker that dies MID-sweep leaves
+    # resumable progress (see feast_iterative_checkpointed docstring).
+    partial_path = os.path.join(cdir, "partial.npz")
+    use_chunk_ckpt = (bool(config.get("chunk_checkpoints", True))
+                      and kwargs.get("node_chunk"))
+    resume_chunk = None
+    if use_chunk_ckpt and os.path.exists(partial_path):
+        try:
+            with np.load(partial_path, allow_pickle=False) as pt:
+                if int(pt["for_sweep"]) == sweeps + 1:
+                    ci_done = int(pt["ci_done"])
+                    warm_new = [pt[f"warm_new_{i}"]
+                                for i in range(ci_done + 1)]
+                    resume_chunk = (ci_done + 1, pt["Qn"], warm_new)
+        except Exception:
+            pass  # unreadable/stale partial: redo the sweep from scratch
+
+    _warm_host = {}  # ci -> complex64 warm chunk, already pulled
+    if resume_chunk is not None:
+        for i, wchunk in enumerate(resume_chunk[2]):
+            _warm_host[i] = np.asarray(wchunk, dtype=np.complex64)
+
+    def _chunk_ckpt(info):
+        from . import cx as cxm
+        _warm_host[info["ci"]] = _pull_warm_f32(info["warm_chunk"])
+        payload = {"for_sweep": np.asarray(sweeps + 1),
+                   "ci_done": np.asarray(info["ci"]),
+                   "Qn": cxm.to_numpy(info["Qn"])}
+        for i, w in _warm_host.items():
+            payload[f"warm_new_{i}"] = w
+        _atomic_savez(partial_path, **payload)
+        # crash-injection hook for the sub-sweep recovery tests: die right
+        # after persisting chunk `idx`'s partial ("marker_path:idx";
+        # one-shot via the marker file)
+        spec = os.environ.get("FEAST_ORCH_CRASH_AFTER_CHUNK")
+        if spec:
+            marker, idx = spec.rsplit(":", 1)
+            if info["ci"] == int(idx) and not os.path.exists(marker):
+                with open(marker, "w") as f:
+                    f.write("crashed\n")
+                os._exit(17)
+
     for _ in range(spw):
         t0 = time.perf_counter()
+        resumed_ci = resume_chunk[0] if resume_chunk is not None else None
         out = feast_iterative(A, B, X0, c=cc, iters=0, keep_q=True,
                               nit0=sweeps, amg_opts=amg_opts,
-                              warm0=warm0, keep_warm=use_warm, **kwargs)
+                              warm0=warm0, keep_warm=use_warm,
+                              chunk_ckpt=_chunk_ckpt if use_chunk_ckpt
+                              else None,
+                              resume_chunk=resume_chunk, **kwargs)
+        resume_chunk = None  # applies to the first sweep only
+        _warm_host.clear()
         sweep_s = time.perf_counter() - t0
         # node-solve sweeps actually executed, counted by the driver
         # itself (ADVICE r4: reconstructing it from (n_iter, converged)
@@ -416,13 +499,13 @@ def _worker(cdir: str) -> int:
         extra = {}
         if use_warm:
             if out.warm is not None and done_in_call > 0:
-                extra["warm"] = cx.to_numpy(out.warm)
+                extra["warm"] = _pull_warm_f32(out.warm)
             elif warm0 is not None:
                 # converged-at-entry calls (done_in_call == 0) re-save the
                 # previous sweep's warm blocks (atomic_savez replaces the
                 # whole state file) rather than drop them for the buffers
                 # of a sweep that never ran
-                extra["warm"] = warm0
+                extra["warm"] = np.asarray(warm0, dtype=np.complex64)
         sweeps += done_in_call
         _atomic_savez(state_path,
                       Q=Qh,
@@ -432,15 +515,20 @@ def _worker(cdir: str) -> int:
                       converged=np.asarray(bool(out.converged)),
                       sweeps=np.asarray(sweeps),
                       sweep_s=sweep_s, **extra)
-        _log(cdir, {"event": "sweep", "sweep": sweeps,
-                    "converged": bool(out.converged),
-                    "max_res_inside": (float(np.asarray(out.res)[
-                        np.asarray(out.inside)].max())
-                        if np.asarray(out.inside).any() else None),
-                    "sweep_s": round(sweep_s, 2)})
+        ev = {"event": "sweep", "sweep": sweeps,
+              "converged": bool(out.converged),
+              "max_res_inside": (float(np.asarray(out.res)[
+                  np.asarray(out.inside)].max())
+                  if np.asarray(out.inside).any() else None),
+              "sweep_s": round(sweep_s, 2)}
+        if resumed_ci is not None:
+            ev["resumed_from_chunk"] = int(resumed_ci)
+        _log(cdir, ev)
         print(json.dumps({"sweep": sweeps,
                           "converged": bool(out.converged),
                           "sweep_s": round(sweep_s, 2)}), flush=True)
+        if use_chunk_ckpt and os.path.exists(partial_path):
+            os.remove(partial_path)  # superseded by the sweep checkpoint
         if out.converged or done_in_call == 0:
             break
         # continue the block in-process: subspace and warm blocks carry

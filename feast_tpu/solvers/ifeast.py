@@ -177,6 +177,7 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
                     rr: str = "device",
                     keep_q: bool = False,
                     warm0=None, keep_warm: bool = False,
+                    chunk_ckpt=None, resume_chunk=None,
                     reorder="auto",
                     nit0: int = 0, tol_mode: str = "abs",
                     m0=None, samples: int = 8, seed: int = 0,
@@ -220,6 +221,16 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
     Krylov (measured r4: a cold sweep was 1489 s vs 173 s warm at 100k
     dof).  Row order follows the ORIGINAL (caller) numbering: `reorder`
     permutations are applied on entry and undone on exit, like X.
+
+    chunk_ckpt / resume_chunk (chunked path only): sub-sweep fault
+    tolerance for remote workers whose lifetime can be shorter than one
+    sweep.  `chunk_ckpt(info)` fires after every node chunk with
+    {nit, ci, nchunks, Qn (partial moment accumulator), warm_chunk},
+    all in the driver's INTERNAL (reordered) row numbering — persist
+    them as opaque blobs.  `resume_chunk=(ci0, Qn_partial, warm_new)`
+    restarts the first sweep of the call at chunk ci0 with those same
+    blobs (the RR phase is deterministic in Q, so completed chunks are
+    skipped exactly).
 
     m0: subspace sizing when X0=None.  An int draws a random (n, m0)
     start block; "auto" sizes it from a matrix-free stochastic count of
@@ -625,13 +636,40 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
             if _stops(nit, res_h, inside_h):
                 converged = True
                 break
+            # Sub-sweep fault tolerance (chunked path only): `chunk_ckpt`
+            # is called after every node chunk with the partial moment
+            # accumulator and that chunk's fresh warm block, and
+            # `resume_chunk=(ci0, Qn_partial, warm_new)` restarts the
+            # FIRST sweep of this call at chunk ci0 with those values —
+            # the RR phase is deterministic in Q, so a resumed worker
+            # recomputes it bit-identically and skips the completed
+            # chunks.  This exists because a remote TPU worker's lifetime
+            # can be SHORTER than one full sweep (measured r5: the axon
+            # backend killed processes every 3-6 min while a 100k sweep
+            # plus startup needed ~4); per-chunk checkpoints turn any
+            # lifetime into forward progress.
             Qn = None
-            for ci in range(nchunks):
+            ci0 = 0
+            if resume_chunk is not None and nit == 0:
+                ci0, Qn_part, warm_new = resume_chunk
+                ci0 = int(ci0)
+                if ci0 > 0:
+                    Qn = Qn_part if isinstance(Qn_part, CX) else \
+                        cx.from_numpy(np.asarray(Qn_part), dtype)
+                    for cj in range(ci0):
+                        wj = warm_new[cj]
+                        warm_list[cj] = wj if isinstance(wj, CX) else \
+                            cx.from_numpy(np.asarray(wj), dtype)
+            for ci in range(ci0, nchunks):
                 k = ci * node_chunk
                 t, warm_list[ci] = chunk_solve(
                     z[k:k + node_chunk], w[k:k + node_chunk],
                     warm_list[ci], R, Xout, lam, A, B, amg_hier)
                 Qn = t if Qn is None else Qn + t
+                if chunk_ckpt is not None:
+                    chunk_ckpt({"nit": nit + nit0, "ci": ci,
+                                "nchunks": nchunks, "Qn": Qn,
+                                "warm_chunk": warm_list[ci]})
             n_sweeps += 1
         else:
             Qn, Xout, lam, res, inside, warm = step(Q, warm, A, B, amg_hier)

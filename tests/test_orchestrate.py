@@ -262,3 +262,34 @@ def test_multi_sweep_worker_checkpoints_each_sweep(tmp_path):
         sweep_nums = [json.loads(l)["sweep"] for l in f
                       if json.loads(l)["event"] == "sweep"]
     assert sweep_nums == list(range(1, out.n_iter + 1))
+
+
+@pytest.mark.slow
+def test_subsweep_chunk_checkpoint_resume(tmp_path):
+    """A worker killed MID-sweep (right after persisting node chunk 1 of
+    4) must leave a resumable partial.npz; the restarted worker resumes
+    that sweep at chunk 2 instead of redoing it, and the run still
+    converges to the exact slice.  This is the r5 armor for remote
+    workers whose lifetime is shorter than one full sweep."""
+    A, X0, c, r, exact = _slice_problem()
+    marker = str(tmp_path / "chunk_crash.marker")
+    out = feast_iterative_checkpointed(
+        A, None, X0, c=c, checkpoint_dir=str(tmp_path / "ck"),
+        max_sweeps=10, max_restarts=3, platform="cpu", verbose=False,
+        worker_env={"FEAST_ORCH_CRASH_AFTER_CHUNK": marker + ":1"},
+        r=r, nodes=8, node_chunk=2, tol=1e-10, precondition="amg",
+        solve_tol=1e-10, solve_iters=200)
+    assert os.path.exists(marker), "chunk crash was never injected"
+    assert out.converged
+    lam, _, res = out.filtered()
+    assert len(lam) == 5
+    np.testing.assert_allclose(np.sort(lam.real), exact, rtol=1e-8)
+    assert res.max() < 1e-10
+    with open(tmp_path / "ck" / "log.jsonl") as f:
+        events = [json.loads(l) for l in f]
+    assert any(e["event"] == "worker_restart" for e in events)
+    # the post-crash worker must have RESUMED mid-sweep, not redone it
+    assert any(e.get("resumed_from_chunk") == 2 for e in events
+               if e["event"] == "sweep")
+    # the partial file is cleaned up once its sweep checkpoints
+    assert not os.path.exists(tmp_path / "ck" / "partial.npz")
