@@ -433,26 +433,50 @@ def _worker(cdir: str) -> int:
             with np.load(partial_path, allow_pickle=False) as pt:
                 if int(pt["for_sweep"]) == sweeps + 1:
                     ci_done = int(pt["ci_done"])
-                    warm_new = [pt[f"warm_new_{i}"]
-                                for i in range(ci_done + 1)]
-                    resume_chunk = (ci_done + 1, pt["Qn"], warm_new)
+                    resume_chunk = {"ci0": ci_done + 1}
+                    if ci_done >= 0:
+                        resume_chunk["Qn"] = pt["Qn"]
+                        resume_chunk["warm_new"] = [
+                            pt[f"warm_new_{i}"] for i in range(ci_done + 1)]
+                    if "rr_X" in pt.files:
+                        resume_chunk["rr"] = (pt["rr_X"], pt["rr_lam"],
+                                              pt["rr_R"], pt["rr_res"],
+                                              pt["rr_inside"])
         except Exception:
-            pass  # unreadable/stale partial: redo the sweep from scratch
+            resume_chunk = None  # unreadable/stale: redo from the sweep top
 
-    _warm_host = {}  # ci -> complex64 warm chunk, already pulled
+    # payload accumulated across this sweep's callbacks (the RR prelude
+    # blobs must survive into every later per-chunk save)
+    _partial = {}
     if resume_chunk is not None:
-        for i, wchunk in enumerate(resume_chunk[2]):
-            _warm_host[i] = np.asarray(wchunk, dtype=np.complex64)
+        _partial["for_sweep"] = np.asarray(sweeps + 1)
+        _partial["ci_done"] = np.asarray(resume_chunk["ci0"] - 1)
+        if "rr" in resume_chunk:
+            for k, v in zip(("rr_X", "rr_lam", "rr_R", "rr_res",
+                             "rr_inside"), resume_chunk["rr"]):
+                _partial[k] = np.asarray(v)
+        for i, w in enumerate(resume_chunk.get("warm_new", [])):
+            _partial[f"warm_new_{i}"] = np.asarray(w, dtype=np.complex64)
+        if "Qn" in resume_chunk:
+            _partial["Qn"] = np.asarray(resume_chunk["Qn"])
 
     def _chunk_ckpt(info):
         from . import cx as cxm
-        _warm_host[info["ci"]] = _pull_warm_f32(info["warm_chunk"])
-        payload = {"for_sweep": np.asarray(sweeps + 1),
-                   "ci_done": np.asarray(info["ci"]),
-                   "Qn": cxm.to_numpy(info["Qn"])}
-        for i, w in _warm_host.items():
-            payload[f"warm_new_{i}"] = w
-        _atomic_savez(partial_path, **payload)
+        if info["ci"] == -1:
+            # RR prelude: fresh sweep — reset the payload
+            Xh, lamh, Rh, res_h, inside_h = info["rr"]
+            _partial.clear()
+            _partial.update(
+                for_sweep=np.asarray(sweeps + 1), ci_done=np.asarray(-1),
+                rr_X=cxm.to_numpy(Xh), rr_lam=cxm.to_numpy(lamh),
+                rr_R=cxm.to_numpy(Rh), rr_res=np.asarray(res_h),
+                rr_inside=np.asarray(inside_h))
+        else:
+            _partial["ci_done"] = np.asarray(info["ci"])
+            _partial["Qn"] = cxm.to_numpy(info["Qn"])
+            _partial[f"warm_new_{info['ci']}"] = \
+                _pull_warm_f32(info["warm_chunk"])
+        _atomic_savez(partial_path, **_partial)
         # crash-injection hook for the sub-sweep recovery tests: die right
         # after persisting chunk `idx`'s partial ("marker_path:idx";
         # one-shot via the marker file)
@@ -466,7 +490,8 @@ def _worker(cdir: str) -> int:
 
     for _ in range(spw):
         t0 = time.perf_counter()
-        resumed_ci = resume_chunk[0] if resume_chunk is not None else None
+        resumed_ci = (resume_chunk["ci0"] if resume_chunk is not None
+                      else None)
         out = feast_iterative(A, B, X0, c=cc, iters=0, keep_q=True,
                               nit0=sweeps, amg_opts=amg_opts,
                               warm0=warm0, keep_warm=use_warm,
@@ -474,7 +499,7 @@ def _worker(cdir: str) -> int:
                               else None,
                               resume_chunk=resume_chunk, **kwargs)
         resume_chunk = None  # applies to the first sweep only
-        _warm_host.clear()
+        _partial.clear()
         sweep_s = time.perf_counter() - t0
         # node-solve sweeps actually executed, counted by the driver
         # itself (ADVICE r4: reconstructing it from (n_iter, converged)

@@ -224,13 +224,15 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
 
     chunk_ckpt / resume_chunk (chunked path only): sub-sweep fault
     tolerance for remote workers whose lifetime can be shorter than one
-    sweep.  `chunk_ckpt(info)` fires after every node chunk with
-    {nit, ci, nchunks, Qn (partial moment accumulator), warm_chunk},
-    all in the driver's INTERNAL (reordered) row numbering — persist
-    them as opaque blobs.  `resume_chunk=(ci0, Qn_partial, warm_new)`
-    restarts the first sweep of the call at chunk ci0 with those same
-    blobs (the RR phase is deterministic in Q, so completed chunks are
-    skipped exactly).
+    sweep.  `chunk_ckpt(info)` fires once per sweep with the RR prelude
+    ({ci: -1, rr: (Xn, lam, R, res, inside)}) and then after every node
+    chunk with {nit, ci, nchunks, Qn (partial moment accumulator),
+    warm_chunk}, all in the driver's INTERNAL (reordered) row numbering
+    — persist them as opaque blobs.  `resume_chunk={"ci0": int, "Qn":
+    ..., "warm_new": [...], "rr": (...) or None}` restarts the first
+    sweep of the call at chunk ci0 with those same blobs, skipping the
+    RR phase entirely when `rr` is present (the RR is deterministic in
+    Q, so the skip is exact).
 
     m0: subspace sizing when X0=None.  An int draws a random (n, m0)
     start block; "auto" sizes it from a matrix-free stochastic count of
@@ -626,16 +628,34 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
             # convergence is decided by the RR step alone, so the chunked
             # path checks BEFORE the node-solve sweep — the final sweep
             # (whose Qn would be discarded) is never run.
-            if use_host_rr:
+            rr_state = (resume_chunk or {}).get("rr") \
+                if (resume_chunk is not None and nit == 0) else None
+            if rr_state is not None:
+                # resume mid-sweep: the previous worker checkpointed this
+                # sweep's RR products — skip recomputing them (the RR
+                # phase plus the device init it forces is most of a
+                # restarted worker's time-to-first-progress)
+                Xh, lamh, Rh, resh, insh = rr_state
+                Xout = cx.from_numpy(np.asarray(Xh), dtype)
+                lam = cx.from_numpy(np.asarray(lamh), dtype)
+                R = cx.from_numpy(np.asarray(Rh), dtype)
+                res, inside = np.asarray(resh), np.asarray(insh)
+            elif use_host_rr:
                 Xout, lam, R, res, inside = host_rr(Q)
             else:
                 Xout, lam, R, res, inside = rr_step(Q, A, B)
-            res_h, inside_h = np.asarray(res), np.asarray(inside)
+            res_h = np.asarray(res)
+            inside_h = np.asarray(inside).astype(bool)
             if debug:
                 _debug_print(nit + nit0, lam, res_h, inside_h)
             if _stops(nit, res_h, inside_h):
                 converged = True
                 break
+            if chunk_ckpt is not None and rr_state is None:
+                # RR prelude checkpoint: lets a successor worker re-enter
+                # this sweep's chunk loop without redoing the RR phase
+                chunk_ckpt({"nit": nit + nit0, "ci": -1,
+                            "rr": (Xout, lam, R, res_h, inside_h)})
             # Sub-sweep fault tolerance (chunked path only): `chunk_ckpt`
             # is called after every node chunk with the partial moment
             # accumulator and that chunk's fresh warm block, and
@@ -651,9 +671,10 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
             Qn = None
             ci0 = 0
             if resume_chunk is not None and nit == 0:
-                ci0, Qn_part, warm_new = resume_chunk
-                ci0 = int(ci0)
+                ci0 = int(resume_chunk.get("ci0", 0))
                 if ci0 > 0:
+                    Qn_part = resume_chunk["Qn"]
+                    warm_new = resume_chunk["warm_new"]
                     Qn = Qn_part if isinstance(Qn_part, CX) else \
                         cx.from_numpy(np.asarray(Qn_part), dtype)
                     for cj in range(ci0):
