@@ -204,10 +204,18 @@ def feast_iterative_checkpointed(
     with open(os.path.join(checkpoint_dir, _CONFIG), "w") as f:
         json.dump(config, f, indent=1)
 
-    # workers must import feast_tpu from the same place as the parent
+    # Workers must import feast_tpu from the same place as the parent —
+    # but NOT via PYTHONPATH: a set PYTHONPATH (any value, even an empty
+    # directory) deterministically breaks the remote TPU plugin's
+    # registration in this environment ("Unable to initialize backend
+    # 'axon'"), measured r5 after a day of mystery worker crashes.  The
+    # import paths ride inside a `python -c` preamble instead, and
+    # PYTHONPATH is stripped from the worker env.
     pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
-    env["PYTHONPATH"] = pkg_parent + os.pathsep + env.get("PYTHONPATH", "")
+    inherited = env.pop("PYTHONPATH", "")
+    worker_paths = [pkg_parent] + [p for p in inherited.split(os.pathsep)
+                                   if p]
     if worker_env:
         env.update({k: str(v) for k, v in worker_env.items()})
 
@@ -218,7 +226,10 @@ def feast_iterative_checkpointed(
     sweeps = _read_sweeps(state_path)
     converged = sweeps_converged(state_path)
     while not converged and sweeps < max_sweeps:
-        cmd = [sys.executable, "-m", "feast_tpu.orchestrate", checkpoint_dir]
+        preamble = (f"import sys; sys.path[:0] = {worker_paths!r}; "
+                    "from feast_tpu.orchestrate import _worker; "
+                    f"sys.exit(_worker({os.path.abspath(checkpoint_dir)!r}))")
+        cmd = [sys.executable, "-c", preamble]
         # Worker output ALWAYS lands in worker.log (overwritten per attempt)
         # so a crash leaves its stderr on disk — 11 blind rc=1 retries in r3
         # burned 40 min of chip time with zero recorded diagnosis.
