@@ -264,13 +264,22 @@ def feast_iterative_checkpointed(
             # identical axon crashes 8 min apart aborted a healthy 100k
             # run) — those retry up to max_restarts like any other crash.
             sig = (str(rc), tail[-1] if tail else "")
-            transient = "TPU worker process crashed" in sig[1]
+            # known-transient remote-backend failure modes (measured r5):
+            # the worker process dying mid-dispatch, and the plugin
+            # failing to REGISTER during an endpoint outage window
+            transient = any(t in sig[1] for t in (
+                "TPU worker process crashed",
+                "Unable to initialize backend"))
             if last_failure == sig and not transient:
                 raise RuntimeError(
                     f"worker failed twice identically without progress "
                     f"(rc={rc}, last line: {sig[1]!r}); aborting early — "
                     f"see {worker_log}")
             last_failure = sig
+            if transient:
+                # give the flapping endpoint a recovery window instead of
+                # hammering it with immediate re-registration attempts
+                time.sleep(min(10.0 * restarts, 60.0))
             if restarts > max_restarts:
                 raise RuntimeError(
                     f"worker failed {restarts} times without progress "
