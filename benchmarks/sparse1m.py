@@ -366,7 +366,11 @@ def orchestrate(args):
                                    if rec["max_res"] is not None else None)
     # The headline filename is reserved for the real thing: N=1000 on a TPU
     # backend.  Smoke runs (reduced N, --cpu) are keyed by scale so they
-    # cannot masquerade as the flagship (the r3 lesson).
+    # cannot masquerade as the flagship (the r3 lesson).  The fastdiag
+    # LOWEST-slice run gets its own name: sparse1m.json stays the
+    # general-machinery (AMG) artifact.
+    if args.fd and args.interior is None:
+        suffix = f"{suffix}_fd"
     if args.N < 900 or args.cpu:
         suffix = f"{suffix}_N{args.N}_smoke"
         rec["smoke"] = True

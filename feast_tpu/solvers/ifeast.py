@@ -21,6 +21,7 @@ Two drivers:
 from __future__ import annotations
 
 import functools
+import time
 from typing import NamedTuple, Optional
 
 import jax
@@ -683,6 +684,7 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
                             cx.from_numpy(np.asarray(wj), dtype)
             for ci in range(ci0, nchunks):
                 k = ci * node_chunk
+                t_ck = time.perf_counter() if debug else 0.0
                 t, warm_list[ci] = chunk_solve(
                     z[k:k + node_chunk], w[k:k + node_chunk],
                     warm_list[ci], R, Xout, lam, A, B, amg_hier)
@@ -691,6 +693,9 @@ def feast_iterative(A, B, X0, contour: Optional[ct.Contour] = None, *,
                     chunk_ckpt({"nit": nit + nit0, "ci": ci,
                                 "nchunks": nchunks, "Qn": Qn,
                                 "warm_chunk": warm_list[ci]})
+                if debug:
+                    print(f"  chunk {ci + 1}/{nchunks} "
+                          f"{time.perf_counter() - t_ck:.1f}s", flush=True)
             n_sweeps += 1
         else:
             Qn, Xout, lam, res, inside, warm = step(Q, warm, A, B, amg_hier)
