@@ -53,6 +53,23 @@ def _setup_jax():
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass
+    # The remote backend's plugin registration FLAPS (r5: outage windows
+    # of minutes where every process gets "Unable to initialize backend");
+    # a bench run that starts inside one must wait it out, not die with
+    # nothing captured.  Each failed attempt leaves the backend list
+    # poisoned in-process, so retries happen in a SUBPROCESS probe and
+    # the parent only proceeds once one succeeds.
+    import subprocess
+    import sys as _sys
+    for attempt in range(20):
+        r = subprocess.run([_sys.executable, "-c",
+                            "import jax; jax.devices()"],
+                           capture_output=True, timeout=120)
+        if r.returncode == 0:
+            break
+        print(f"bench: backend registration failed (attempt {attempt + 1}"
+              f"/20), waiting 30 s", flush=True)
+        time.sleep(30)
     return jax
 
 
